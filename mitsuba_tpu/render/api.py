@@ -1,0 +1,126 @@
+"""Top-level render orchestration.
+
+The reference's RenderJob/BlockedRenderProcess pipeline (renderjob.cpp,
+renderproc.cpp) schedules 32x32 pixel blocks across worker threads. The TPU
+analog renders the *whole image* as one megabatch per sample pass (every
+pixel is a lane), loops spp passes host-side while XLA pipelines, and
+accumulates into the film array. Multi-chip sharding wraps this same pass
+function via shard_map (mitsuba_tpu.parallel).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..core import rng as rng_mod
+from . import film as film_mod
+from . import rfilter
+from . import sensor as sensor_mod
+from .integrators import common as icommon
+from .integrators import direct as int_direct
+from .integrators import misc as int_misc
+from .integrators import path as int_path
+
+# sampler types (parity: src/samplers — independent.cpp, stratified.cpp;
+# ldsampler/sobol/halton arrive with mitsuba_tpu.core.qmc)
+INDEPENDENT = 0
+STRATIFIED = 1
+LDSAMPLER = 2
+SOBOL = 3
+
+
+@dataclass(frozen=True)
+class RenderSettings:
+    width: int = 256
+    height: int = 256
+    spp: int = 16
+    filter_type: int = rfilter.GAUSSIAN
+    sampler_type: int = INDEPENDENT
+    spp_per_pass: int = 4
+    seed: int = 0
+
+
+def _li_fn(cfg: icommon.IntegratorConfig):
+    if cfg.type == icommon.PATH:
+        return int_path.li
+    if cfg.type == icommon.DIRECT:
+        return int_direct.li
+    if cfg.type == icommon.AO:
+        return int_misc.li_ao
+    if cfg.type == icommon.FIELD:
+        return int_misc.li_field
+    raise ValueError(f"unknown integrator type {cfg.type}")
+
+
+def pixel_sample_positions(settings: RenderSettings, pixel_idx, sample_idx, seed):
+    """Continuous film positions for (pixel, sample) lanes.
+
+    Independent: pure PCG jitter. Stratified: spp factored into an
+    nx x ny grid, jittered within the stratum (stratified.cpp semantics).
+    """
+    W = settings.width
+    px = (pixel_idx % W).astype(jnp.float32)
+    py = (pixel_idx // W).astype(jnp.float32)
+    u = rng_mod.uniform2(seed, pixel_idx, sample_idx, icommon.DIM_SENSOR)
+    if settings.sampler_type == STRATIFIED:
+        nx = max(int(settings.spp ** 0.5), 1)
+        ny = max(settings.spp // nx, 1)
+        n = nx * ny
+        s = sample_idx % n
+        jx = ((s % nx).astype(jnp.float32) + u[..., 0]) / nx
+        jy = ((s // nx).astype(jnp.float32) + u[..., 1]) / ny
+        jit = jnp.stack([jx, jy], axis=-1)
+    else:
+        jit = u
+    return jnp.stack([px, py], axis=-1) + jit
+
+
+def render_pass(scene, static, sensor, cfg: icommon.IntegratorConfig,
+                settings: RenderSettings, film, sample_base, n_samples: int,
+                pixel_idx=None):
+    """Accumulate ``n_samples`` sample passes into ``film`` (traceable)."""
+    H, W = settings.height, settings.width
+    if pixel_idx is None:
+        pixel_idx = jnp.arange(H * W, dtype=jnp.int32)
+    seed = jnp.asarray(settings.seed, jnp.int32)
+    li = _li_fn(cfg)
+
+    for s in range(n_samples):
+        sample_idx = sample_base + s
+        pos = pixel_sample_positions(settings, pixel_idx, sample_idx, seed)
+        uv = pos / jnp.asarray([W, H], jnp.float32)
+        u_ap = rng_mod.uniform2(seed, pixel_idx, sample_idx, icommon.DIM_APERTURE)
+        o, d = sensor_mod.sample_ray(sensor, uv, u_ap)
+        L = li(scene, static, cfg, o, d, seed, pixel_idx, sample_idx)
+        if settings.filter_type == rfilter.BOX:
+            img = L.reshape(H, W, 3)
+            film = film_mod.splat_aligned(film, img)
+        else:
+            film = film_mod.splat(film, pos, L, settings.filter_type)
+    return film
+
+
+def render(scene, static, sensor, cfg: icommon.IntegratorConfig,
+           settings: RenderSettings):
+    """Full render: jit-compiled sample passes, host loop over spp chunks.
+
+    Returns the developed (H, W, 3) image.
+    """
+    H, W = settings.height, settings.width
+    chunk = min(settings.spp_per_pass, settings.spp)
+
+    @partial(jax.jit, static_argnums=(3,))
+    def one_pass(scene_, film, sample_base, n):
+        return render_pass(scene_, static, sensor, cfg, settings, film,
+                           sample_base, n)
+
+    film = film_mod.Film.empty(H, W)
+    s = 0
+    while s < settings.spp:
+        n = min(chunk, settings.spp - s)
+        film = one_pass(scene, film, jnp.asarray(s, jnp.int32), n)
+        s += n
+    return film_mod.develop(film)

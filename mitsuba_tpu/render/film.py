@@ -1,0 +1,89 @@
+"""Film accumulation (reference: imageblock.h put(), film.h, hdrfilm.cpp).
+
+The reference splats every sample into a bordered per-block Bitmap with
+filter-weighted accumulation (ImageBlock::put, imageblock.h:122-142) and
+reassembles blocks into the film. Here the film is one (H, W, 4) device
+array (RGB + filter weight) and a whole wavefront of samples is splatted
+with a single scatter-add per footprint tap — deterministic given sample
+order, and differentiable (the splat is linear).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from . import rfilter
+
+
+class Film(NamedTuple):
+    data: jnp.ndarray  # (H, W, 4): rgb-weighted sum + weight
+
+    @staticmethod
+    def empty(height: int, width: int) -> "Film":
+        return Film(data=jnp.zeros((height, width, 4)))
+
+    @property
+    def height(self):
+        return self.data.shape[0]
+
+    @property
+    def width(self):
+        return self.data.shape[1]
+
+
+def splat(film: Film, pos, value, filter_type: int = rfilter.GAUSSIAN) -> Film:
+    """Accumulate samples: pos (R, 2) in continuous pixel coordinates
+    (x, y), value (R, 3) radiance. NaN/negative samples are dropped with the
+    same policy as ImageBlock::put's warnInvalid."""
+    H, W = film.height, film.width
+    finite = jnp.all(jnp.isfinite(value), axis=-1) & jnp.all(value > -1e-5, axis=-1)
+    value = jnp.where(finite[..., None], value, 0.0)
+
+    fp = rfilter.footprint(filter_type)
+    # pixel whose center is nearest below/at the sample
+    base_x = jnp.floor(pos[..., 0] - 0.5).astype(jnp.int32)
+    base_y = jnp.floor(pos[..., 1] - 0.5).astype(jnp.int32)
+
+    data = film.data
+    updates = []
+    idx_y = []
+    idx_x = []
+    for oy in range(-fp + 1, fp + 1):
+        py = base_y + oy
+        wy = rfilter.eval_1d(filter_type, py.astype(jnp.float32) + 0.5 - pos[..., 1])
+        for ox in range(-fp + 1, fp + 1):
+            px = base_x + ox
+            wx = rfilter.eval_1d(filter_type, px.astype(jnp.float32) + 0.5 - pos[..., 0])
+            w = wx * wy * finite.astype(jnp.float32)
+            inside = (px >= 0) & (px < W) & (py >= 0) & (py < H)
+            w = jnp.where(inside, w, 0.0)
+            contrib = jnp.concatenate(
+                [value * w[..., None], w[..., None]], axis=-1
+            )
+            updates.append(contrib)
+            idx_y.append(jnp.clip(py, 0, H - 1))
+            idx_x.append(jnp.clip(px, 0, W - 1))
+
+    ys = jnp.concatenate(idx_y)
+    xs = jnp.concatenate(idx_x)
+    ups = jnp.concatenate(updates)
+    data = data.at[ys, xs].add(ups, mode="drop")
+    return Film(data=data)
+
+
+def splat_aligned(film: Film, value_image) -> Film:
+    """Fast path for samplers that produce exactly one jittered sample per
+    pixel with a box filter: value_image (H, W, 3) adds directly."""
+    H, W = film.height, film.width
+    finite = jnp.all(jnp.isfinite(value_image), axis=-1, keepdims=True)
+    v = jnp.where(finite, value_image, 0.0)
+    add = jnp.concatenate([v, finite.astype(jnp.float32)], axis=-1)
+    return Film(data=film.data + add)
+
+
+def develop(film: Film):
+    """Normalize accumulated splats -> (H, W, 3) radiance image
+    (Film::develop)."""
+    w = film.data[..., 3:4]
+    return film.data[..., :3] / jnp.maximum(w, 1e-12)

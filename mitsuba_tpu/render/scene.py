@@ -1,0 +1,711 @@
+"""Scene container: compiled array-of-structs scene + device queries.
+
+The reference keeps a retained-mode object graph (Scene in scene.h/
+scene.cpp owning Shape/BSDF/Emitter plugin objects, kd-tree built at
+initialize(), scene.cpp:322-384). The TPU design compiles the whole scene
+into flat device arrays once on the host: triangles + analytic spheres,
+a threaded BVH, a material table, a texture stack, and an emitter table
+with precomputed NEE pdfs. Device-side queries (ray_intersect, occluded,
+sample_emitter_direct) are pure batched functions over those arrays.
+
+Static (non-traced) facts — which BSDF/emitter types exist, whether to use
+the BVH — live in SceneStatic, closed over at jit time, so XLA only compiles
+the lobes a scene actually uses.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import NamedTuple, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..accel.build import build_bvh, triangle_aabbs
+from ..accel.traverse import DeviceBVH, bvh_closest_hit, bvh_any_hit
+from ..core import math as m
+from ..core.frame import Frame
+from ..ops import intersect as isect
+from . import bsdf as bsdf_mod
+from . import emitter as em_mod
+from .records import Interaction
+from .texture import TextureTable
+
+# below this triangle count brute force beats BVH gathers on TPU
+BRUTE_FORCE_MAX_TRIS = 512
+
+
+class Scene(NamedTuple):
+    """Device scene (a pytree — every leaf is a jnp array)."""
+
+    # triangles
+    tri_p0: jnp.ndarray       # (T, 3)
+    tri_e1: jnp.ndarray       # (T, 3)
+    tri_e2: jnp.ndarray       # (T, 3)
+    tri_n0: jnp.ndarray       # (T, 3) shading normals per vertex
+    tri_n1: jnp.ndarray
+    tri_n2: jnp.ndarray
+    tri_uv0: jnp.ndarray      # (T, 2)
+    tri_uv1: jnp.ndarray
+    tri_uv2: jnp.ndarray
+    tri_gn: jnp.ndarray       # (T, 3) geometric normal (unit)
+    tri_mat: jnp.ndarray      # (T,) int32
+    tri_emitter: jnp.ndarray  # (T,) int32 (-1 none)
+    tri_nee_pdf_area: jnp.ndarray  # (T,) em_pmf * tri_pmf / area (0 if not emissive)
+    # analytic spheres
+    sph_center: jnp.ndarray   # (S, 3)
+    sph_radius: jnp.ndarray   # (S,)
+    sph_mat: jnp.ndarray      # (S,)
+    sph_emitter: jnp.ndarray  # (S,)
+    # acceleration
+    bvh: DeviceBVH
+    # tables
+    materials: bsdf_mod.MaterialTable
+    textures: TextureTable
+    emitters: em_mod.EmitterTable
+    # bounds
+    aabb_lo: jnp.ndarray      # (3,)
+    aabb_hi: jnp.ndarray      # (3,)
+    radius: jnp.ndarray       # () bounding-sphere radius
+
+
+@dataclass(frozen=True)
+class SceneStatic:
+    """Hashable compile-time facts about a scene."""
+
+    n_tris: int
+    n_spheres: int
+    use_bvh: bool
+    bsdf_types: tuple          # sorted tuple of bsdf type tags present
+    emitter_types: tuple       # sorted tuple of emitter type tags present
+    has_env: bool
+
+
+# === device queries =======================================================
+
+def ray_intersect(scene: Scene, static: SceneStatic, o, d, t_min, t_max,
+                  active=None) -> Interaction:
+    """Closest-hit + full surface interaction record (the reference's
+    Scene::rayIntersect + fillIntersectionRecord, split reference
+    skdtree.cpp:112 / shape.h)."""
+    R = o.shape[0]
+    t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (R,))
+    t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (R,))
+    if active is not None:
+        # inactive lanes trace degenerate rays: keep shapes static, kill range
+        t_max = jnp.where(active, t_max, t_min)
+
+    T = static.n_tris
+    if T > 0:
+        if static.use_bvh:
+            t_hit, t_t, t_idx, t_u, t_v = bvh_closest_hit(
+                scene.bvh, o, d, t_min, t_max
+            )[0:5]
+            hit_t, tri_t, tri_idx, tri_u, tri_v = t_hit, t_t, t_idx, t_u, t_v
+        else:
+            hit_t, tri_t, tri_idx, tri_u, tri_v = isect.ray_brute_force_tris(
+                o, d, scene.tri_p0, scene.tri_e1, scene.tri_e2, t_min, t_max
+            )
+    else:
+        hit_t = jnp.zeros(R, bool)
+        tri_t = jnp.full(R, jnp.inf)
+        tri_idx = jnp.full(R, -1, jnp.int32)
+        tri_u = jnp.zeros(R)
+        tri_v = jnp.zeros(R)
+
+    if static.n_spheres > 0:
+        hit_s, sph_t, sph_idx = isect.ray_brute_force_spheres(
+            o, d, scene.sph_center, scene.sph_radius, t_min, t_max
+        )
+        sphere_closer = hit_s & (~hit_t | (sph_t < tri_t))
+    else:
+        sphere_closer = jnp.zeros(R, bool)
+        sph_t = jnp.full(R, jnp.inf)
+        sph_idx = jnp.zeros(R, jnp.int32)
+
+    valid = hit_t | sphere_closer
+    t = jnp.where(sphere_closer, sph_t, tri_t)
+    p = o + t[..., None] * d
+
+    # --- triangle shading data ---
+    ti = jnp.maximum(tri_idx, 0)
+    b1, b2 = tri_u, tri_v
+    b0 = 1.0 - b1 - b2
+    n_sh_tri = m.normalize(
+        b0[..., None] * scene.tri_n0[ti]
+        + b1[..., None] * scene.tri_n1[ti]
+        + b2[..., None] * scene.tri_n2[ti]
+    )
+    uv_tri = (
+        b0[..., None] * scene.tri_uv0[ti]
+        + b1[..., None] * scene.tri_uv1[ti]
+        + b2[..., None] * scene.tri_uv2[ti]
+    )
+    gn_tri = scene.tri_gn[ti]
+    mat_tri = scene.tri_mat[ti]
+    em_tri = scene.tri_emitter[ti]
+
+    # --- sphere shading data (sphere.cpp fillIntersectionRecord) ---
+    si = jnp.minimum(sph_idx, max(static.n_spheres - 1, 0))
+    c = scene.sph_center[si]
+    n_sph = m.normalize(p - c)
+    theta, phi = m.spherical_coordinates(n_sph)
+    uv_sph = jnp.stack([phi * (0.5 / jnp.pi), theta * (1.0 / jnp.pi)], axis=-1)
+    mat_sph = scene.sph_mat[si]
+    em_sph = scene.sph_emitter[si]
+
+    sc = sphere_closer[..., None]
+    gn = jnp.where(sc, n_sph, gn_tri)
+    n_sh = jnp.where(sc, n_sph, n_sh_tri)
+    uv = jnp.where(sc, uv_sph, uv_tri)
+    mat_id = jnp.where(sphere_closer, mat_sph, mat_tri)
+    em_id = jnp.where(sphere_closer, em_sph, em_tri)
+    prim = jnp.where(sphere_closer, T + sph_idx, tri_idx)
+
+    # orient geometric normal to the shading normal's side convention:
+    # keep gn as authored; flip shading frame handled by BSDF twosided flag.
+    frame = Frame.from_normal(n_sh)
+    wi_world = -d
+    wi_local = frame.to_local(wi_world)
+
+    mat_id = jnp.where(valid, mat_id, -1)
+    em_id = jnp.where(valid, em_id, -1)
+    return Interaction(
+        valid=valid,
+        t=jnp.where(valid, t, jnp.inf),
+        p=p,
+        gn=gn,
+        sh_frame=frame,
+        uv=uv,
+        wi=wi_local,
+        wi_world=wi_world,
+        mat_id=mat_id,
+        emitter_id=em_id,
+        prim_id=jnp.where(valid, prim, -1).astype(jnp.int32),
+    )
+
+
+def occluded(scene: Scene, static: SceneStatic, o, d, t_min, t_max, active=None):
+    """Boolean shadow-ray query (skdtree.cpp:207 fast path)."""
+    R = o.shape[0]
+    t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (R,))
+    t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (R,))
+    if active is not None:
+        t_max = jnp.where(active, t_max, t_min)
+    occ = jnp.zeros(R, bool)
+    if static.n_tris > 0:
+        if static.use_bvh:
+            occ = bvh_any_hit(scene.bvh, o, d, t_min, t_max)
+        else:
+            h, _, _, _, _ = isect.ray_brute_force_tris(
+                o, d, scene.tri_p0, scene.tri_e1, scene.tri_e2, t_min, t_max
+            )
+            occ = h
+    if static.n_spheres > 0:
+        hs, _, _ = isect.ray_brute_force_spheres(
+            o, d, scene.sph_center, scene.sph_radius, t_min, t_max
+        )
+        occ = occ | hs
+    return occ
+
+
+def eval_albedo(scene: Scene, its: Interaction):
+    """Diffuse reflectance with texture lookup (Texture::eval path)."""
+    mid = jnp.maximum(its.mat_id, 0)
+    tex_id = scene.materials.albedo_tex[mid]
+    base = scene.materials.albedo[mid]
+    from .texture import eval_texture
+
+    return eval_texture(scene.textures, tex_id, its.uv, base)
+
+
+def bsdf_locals(scene: Scene, its: Interaction) -> bsdf_mod.BsdfLocals:
+    return bsdf_mod.gather_locals(
+        scene.materials, its.mat_id, albedo_override=eval_albedo(scene, its)
+    )
+
+
+def emitted_radiance(scene: Scene, static: SceneStatic, its: Interaction, d):
+    """Radiance emitted by a hit surface toward -d (AreaEmitter::eval,
+    area.cpp: only the front side emits)."""
+    has = its.emitter_id >= 0
+    e = jnp.maximum(its.emitter_id, 0)
+    front = m.dot(its.gn, -d) > 0
+    rad = scene.emitters.radiance[e]
+    return jnp.where((has & front)[..., None], rad, 0.0)
+
+
+def pdf_emitter_hit(scene: Scene, its: Interaction, ref_p):
+    """Solid-angle NEE pdf of the point that a BSDF-sampled ray hit
+    (Scene::pdfEmitterDirect, scene.cpp:949) — one gather thanks to the
+    precomputed per-triangle area pdf."""
+    tri_ok = (its.prim_id >= 0) & (its.prim_id < scene.tri_p0.shape[0])
+    ti = jnp.clip(its.prim_id, 0, scene.tri_p0.shape[0] - 1)
+    pdf_area = jnp.where(tri_ok, scene.tri_nee_pdf_area[ti], 0.0)
+    to_hit = its.p - ref_p
+    d2 = m.squared_length(to_hit)
+    dist = jnp.sqrt(jnp.maximum(d2, 1e-12))
+    cos_l = jnp.abs(m.dot(its.gn, -to_hit / dist[..., None]))
+    return m.safe_div(pdf_area * d2, jnp.maximum(cos_l, 1e-7))
+
+
+# === host-side builder ====================================================
+
+@dataclass
+class _Mesh:
+    verts: np.ndarray
+    faces: np.ndarray
+    mat: int
+    emitter: int
+    normals: Optional[np.ndarray] = None
+    uvs: Optional[np.ndarray] = None
+
+
+@dataclass
+class SceneBuilder:
+    """Assemble a scene on the host, then compile to device arrays.
+
+    Mirrors the role of the reference's XML -> Properties -> plugin
+    instantiation pipeline (scenehandler.cpp) with a programmatic API
+    (the XML front-end in mitsuba_tpu.io.mitsuba_xml drives this)."""
+
+    meshes: list = field(default_factory=list)
+    spheres: list = field(default_factory=list)
+    mats: list = field(default_factory=list)
+    emitters: list = field(default_factory=list)
+    textures: list = field(default_factory=list)
+    bitmaps: list = field(default_factory=list)
+
+    # --- materials ---
+    def add_material(
+        self,
+        type: int = bsdf_mod.DIFFUSE,
+        albedo=(0.5, 0.5, 0.5),
+        albedo_tex: int = -1,
+        spec_refl=(1.0, 1.0, 1.0),
+        spec_trans=(1.0, 1.0, 1.0),
+        eta=(1.5046, 1.5046, 1.5046),
+        k=(0.0, 0.0, 0.0),
+        alpha=(0.1, 0.1),
+        alpha_tex: int = -1,
+        dist: int = 0,
+        nonlinear: bool = False,
+        twosided: bool = False,
+        opacity_tex: int = -1,
+    ) -> int:
+        if np.isscalar(eta):
+            eta = (float(eta),) * 3
+        if np.isscalar(alpha):
+            alpha = (float(alpha),) * 2
+        self.mats.append(
+            dict(
+                type=type, albedo=tuple(albedo), albedo_tex=albedo_tex,
+                spec_refl=tuple(spec_refl), spec_trans=tuple(spec_trans),
+                eta=tuple(eta), k=tuple(k), alpha=tuple(alpha),
+                alpha_tex=alpha_tex, dist=dist, nonlinear=nonlinear,
+                twosided=twosided, opacity_tex=opacity_tex,
+            )
+        )
+        return len(self.mats) - 1
+
+    # --- textures ---
+    def add_texture_constant(self, value) -> int:
+        from .texture import TEX_CONSTANT
+
+        self.textures.append(
+            dict(type=TEX_CONSTANT, color0=tuple(value), color1=(0, 0, 0),
+                 uv_scale=(1, 1), uv_offset=(0, 0), line_width=0.01,
+                 scale=(1, 1, 1), bitmap=-1)
+        )
+        return len(self.textures) - 1
+
+    def add_texture_checkerboard(self, color0=(0.4,) * 3, color1=(0.2,) * 3,
+                                 uv_scale=(1.0, 1.0), uv_offset=(0.0, 0.0),
+                                 scale=(1.0, 1.0, 1.0)) -> int:
+        from .texture import TEX_CHECKERBOARD
+
+        self.textures.append(
+            dict(type=TEX_CHECKERBOARD, color0=tuple(color0), color1=tuple(color1),
+                 uv_scale=tuple(uv_scale), uv_offset=tuple(uv_offset),
+                 line_width=0.01, scale=tuple(scale), bitmap=-1)
+        )
+        return len(self.textures) - 1
+
+    def add_texture_grid(self, color0=(0.2,) * 3, color1=(0.4,) * 3,
+                         line_width=0.01, uv_scale=(1.0, 1.0),
+                         uv_offset=(0.0, 0.0)) -> int:
+        from .texture import TEX_GRID
+
+        self.textures.append(
+            dict(type=TEX_GRID, color0=tuple(color0), color1=tuple(color1),
+                 uv_scale=tuple(uv_scale), uv_offset=tuple(uv_offset),
+                 line_width=line_width, scale=(1, 1, 1), bitmap=-1)
+        )
+        return len(self.textures) - 1
+
+    def add_texture_bitmap(self, image: np.ndarray, uv_scale=(1.0, 1.0),
+                           uv_offset=(0.0, 0.0), scale=(1.0, 1.0, 1.0)) -> int:
+        from .texture import TEX_BITMAP
+
+        img = np.asarray(image, dtype=np.float32)
+        if img.ndim == 2:
+            img = np.repeat(img[..., None], 3, axis=-1)
+        self.bitmaps.append(img)
+        self.textures.append(
+            dict(type=TEX_BITMAP, color0=(0, 0, 0), color1=(0, 0, 0),
+                 uv_scale=tuple(uv_scale), uv_offset=tuple(uv_offset),
+                 line_width=0.01, scale=tuple(scale),
+                 bitmap=len(self.bitmaps) - 1)
+        )
+        return len(self.textures) - 1
+
+    # --- geometry ---
+    def add_mesh(self, verts, faces, mat: int, emitter_radiance=None,
+                 normals=None, uvs=None) -> None:
+        verts = np.asarray(verts, dtype=np.float64)
+        faces = np.asarray(faces, dtype=np.int64)
+        em = -1
+        if emitter_radiance is not None:
+            em = self._add_area_emitter(tuple(np.asarray(emitter_radiance, dtype=float)))
+        self.meshes.append(_Mesh(verts, faces, mat, em, normals, uvs))
+
+    def add_sphere(self, center, radius, mat: int, emitter_radiance=None) -> None:
+        em = -1
+        if emitter_radiance is not None:
+            em = self._add_area_emitter(tuple(np.asarray(emitter_radiance, dtype=float)))
+            # analytic-sphere area emitters are sampled via tessellation:
+            # keep the analytic hit but also tessellate for NEE (round-1
+            # simplification documented in docs/PARITY.md)
+        self.spheres.append((np.asarray(center, float), float(radius), mat, em))
+
+    # --- emitters ---
+    def _add_area_emitter(self, radiance) -> int:
+        self.emitters.append(dict(type=em_mod.AREA, radiance=radiance))
+        return len(self.emitters) - 1
+
+    def add_point_light(self, position, intensity) -> int:
+        self.emitters.append(
+            dict(type=em_mod.POINT, radiance=tuple(intensity), position=tuple(position))
+        )
+        return len(self.emitters) - 1
+
+    def add_spot_light(self, position, direction, intensity,
+                       cutoff_deg=20.0, beamwidth_deg=None) -> int:
+        if beamwidth_deg is None:
+            beamwidth_deg = cutoff_deg * 0.75
+        d = np.asarray(direction, float)
+        d = d / np.linalg.norm(d)
+        self.emitters.append(
+            dict(type=em_mod.SPOT, radiance=tuple(intensity),
+                 position=tuple(position), direction=tuple(d),
+                 spot_cos=(float(np.cos(np.deg2rad(cutoff_deg))),
+                           float(np.cos(np.deg2rad(beamwidth_deg)))))
+        )
+        return len(self.emitters) - 1
+
+    def add_directional_light(self, direction, irradiance) -> int:
+        d = np.asarray(direction, float)
+        d = d / np.linalg.norm(d)
+        self.emitters.append(
+            dict(type=em_mod.DIRECTIONAL, radiance=tuple(irradiance), direction=tuple(d))
+        )
+        return len(self.emitters) - 1
+
+    def add_constant_emitter(self, radiance) -> int:
+        self.emitters.append(dict(type=em_mod.CONSTANT, radiance=tuple(radiance)))
+        return len(self.emitters) - 1
+
+    def add_envmap(self, image: np.ndarray, to_world=None, scale: float = 1.0) -> int:
+        self.emitters.append(
+            dict(type=em_mod.ENVMAP, radiance=(1.0, 1.0, 1.0),
+                 env_map=np.asarray(image, np.float32),
+                 env_to_world=(np.eye(3) if to_world is None else np.asarray(to_world)),
+                 env_scale=float(scale))
+        )
+        return len(self.emitters) - 1
+
+    # --- compile ---
+    def build(self):
+        if not self.mats:
+            self.add_material()
+        # concatenate meshes
+        P0, E1, E2, N0, N1, N2, UV0, UV1, UV2, GN, MAT, EM, AREA_ = (
+            [], [], [], [], [], [], [], [], [], [], [], [], []
+        )
+        for mesh in self.meshes:
+            v, f = mesh.verts, mesh.faces
+            p0 = v[f[:, 0]]
+            p1 = v[f[:, 1]]
+            p2 = v[f[:, 2]]
+            e1 = p1 - p0
+            e2 = p2 - p0
+            gn = np.cross(e1, e2)
+            area2 = np.linalg.norm(gn, axis=1)
+            area = 0.5 * area2
+            gn = gn / np.maximum(area2[:, None], 1e-20)
+            if mesh.normals is not None:
+                n = np.asarray(mesh.normals, dtype=np.float64)
+                n0, n1, n2 = n[f[:, 0]], n[f[:, 1]], n[f[:, 2]]
+            else:
+                n0 = n1 = n2 = gn
+            if mesh.uvs is not None:
+                uv = np.asarray(mesh.uvs, dtype=np.float64)
+                uv0, uv1, uv2 = uv[f[:, 0]], uv[f[:, 1]], uv[f[:, 2]]
+            else:
+                uv0 = uv1 = uv2 = np.zeros((len(f), 2))
+            P0.append(p0); E1.append(e1); E2.append(e2)
+            N0.append(n0); N1.append(n1); N2.append(n2)
+            UV0.append(uv0); UV1.append(uv1); UV2.append(uv2)
+            GN.append(gn)
+            MAT.append(np.full(len(f), mesh.mat, np.int32))
+            EM.append(np.full(len(f), mesh.emitter, np.int32))
+            AREA_.append(area)
+
+        if P0:
+            tp0 = np.concatenate(P0); te1 = np.concatenate(E1); te2 = np.concatenate(E2)
+            tn0 = np.concatenate(N0); tn1 = np.concatenate(N1); tn2 = np.concatenate(N2)
+            tuv0 = np.concatenate(UV0); tuv1 = np.concatenate(UV1); tuv2 = np.concatenate(UV2)
+            tgn = np.concatenate(GN)
+            tmat = np.concatenate(MAT); tem = np.concatenate(EM)
+            tarea = np.concatenate(AREA_)
+        else:
+            tp0 = np.zeros((1, 3)); te1 = np.zeros((1, 3)); te2 = np.zeros((1, 3))
+            te1[0, 0] = 1e-9; te2[0, 1] = 1e-9
+            tn0 = tn1 = tn2 = np.array([[0, 0, 1.0]])
+            tuv0 = tuv1 = tuv2 = np.zeros((1, 2))
+            tgn = np.array([[0, 0, 1.0]])
+            tmat = np.zeros(1, np.int32); tem = np.full(1, -1, np.int32)
+            tarea = np.zeros(1)
+        T = len(tp0) if P0 else 0
+
+        # emitter table + NEE pdfs
+        E = max(len(self.emitters), 1)
+        etype = np.zeros(E, np.int32)
+        erad = np.zeros((E, 3), np.float32)
+        epos = np.zeros((E, 3), np.float32)
+        edir = np.tile(np.array([[0, 0, -1.0]], np.float32), (E, 1))
+        espot = np.tile(np.array([[0.0, 1.0]], np.float32), (E, 1))
+        estart = np.zeros(E, np.int32)
+        ecount = np.zeros(E, np.int32)
+        edelta = np.zeros(E, bool)
+        env_index = -1
+        env_fields = None
+        for i, e in enumerate(self.emitters):
+            etype[i] = e["type"]
+            erad[i] = np.asarray(e["radiance"], np.float32)
+            if "position" in e:
+                epos[i] = e["position"]
+            if "direction" in e:
+                edir[i] = e["direction"]
+            if "spot_cos" in e:
+                espot[i] = e["spot_cos"]
+            edelta[i] = e["type"] in (em_mod.POINT, em_mod.SPOT, em_mod.DIRECTIONAL)
+            if e["type"] in (em_mod.CONSTANT, em_mod.ENVMAP):
+                env_index = i
+            if e["type"] == em_mod.ENVMAP:
+                env_fields = _build_envmap(e)
+
+        n_emitters = len(self.emitters)
+        pmf = np.full(E, 1.0 / max(n_emitters, 1), np.float32)
+        if n_emitters == 0:
+            pmf[:] = 0.0
+        cdf = np.cumsum(pmf).astype(np.float32)
+        if n_emitters:
+            cdf[-1] = 1.0
+
+        # emissive triangles, grouped by emitter, area-weighted local cdf
+        etri_tri_l, etri_cdf_l = [], []
+        tri_nee = np.zeros(max(T, 1), np.float32)
+        for i, e in enumerate(self.emitters):
+            if e["type"] != em_mod.AREA:
+                continue
+            sel = np.nonzero(tem == i)[0]
+            estart[i] = len(etri_tri_l)
+            ecount[i] = len(sel)
+            if len(sel) == 0:
+                continue
+            a = tarea[sel]
+            local_pmf = a / a.sum()
+            local_cdf = np.cumsum(local_pmf)
+            local_cdf[-1] = 1.0
+            etri_tri_l.extend(sel.tolist())
+            etri_cdf_l.extend((i + local_cdf).tolist())
+            # dense per-triangle NEE area pdf (folds emitter pmf in)
+            tri_nee[sel] = pmf[i] * local_pmf / np.maximum(a, 1e-20)
+
+        etri_tri = np.asarray(etri_tri_l or [0], np.int32)
+        etri_cdf = np.asarray(etri_cdf_l or [np.inf], np.float32)
+
+        env = env_fields or {
+            k: np.asarray(v) for k, v in
+            ((k, v) for k, v in em_mod.EmitterTable.empty_env_fields().items())
+        }
+
+        emitters = em_mod.EmitterTable(
+            type=jnp.asarray(etype), radiance=jnp.asarray(erad),
+            position=jnp.asarray(epos), direction=jnp.asarray(edir),
+            spot_cos=jnp.asarray(espot), tri_start=jnp.asarray(estart),
+            tri_count=jnp.asarray(ecount), delta=jnp.asarray(edelta),
+            pmf=jnp.asarray(pmf), cdf=jnp.asarray(cdf),
+            etri_tri=jnp.asarray(etri_tri), etri_cdf=jnp.asarray(etri_cdf),
+            env_index=jnp.asarray(env_index, jnp.int32),
+            env_map=jnp.asarray(env["env_map"]),
+            env_cdf_rows=jnp.asarray(env["env_cdf_rows"]),
+            env_cdf_cond=jnp.asarray(env["env_cdf_cond"]),
+            env_pdf=jnp.asarray(env["env_pdf"]),
+            env_to_world=jnp.asarray(env["env_to_world"]),
+            env_scale=jnp.asarray(env["env_scale"]),
+        )
+
+        # material table
+        Mn = len(self.mats)
+        materials = bsdf_mod.MaterialTable(
+            type=jnp.asarray([mm["type"] for mm in self.mats], jnp.int32),
+            dist=jnp.asarray([mm["dist"] for mm in self.mats], jnp.int32),
+            albedo=jnp.asarray([mm["albedo"] for mm in self.mats], jnp.float32),
+            albedo_tex=jnp.asarray([mm["albedo_tex"] for mm in self.mats], jnp.int32),
+            spec_refl=jnp.asarray([mm["spec_refl"] for mm in self.mats], jnp.float32),
+            spec_trans=jnp.asarray([mm["spec_trans"] for mm in self.mats], jnp.float32),
+            eta=jnp.asarray([mm["eta"] for mm in self.mats], jnp.float32),
+            k=jnp.asarray([mm["k"] for mm in self.mats], jnp.float32),
+            alpha=jnp.asarray([mm["alpha"] for mm in self.mats], jnp.float32),
+            alpha_tex=jnp.asarray([mm["alpha_tex"] for mm in self.mats], jnp.int32),
+            nonlinear=jnp.asarray([mm["nonlinear"] for mm in self.mats], bool),
+            twosided=jnp.asarray([mm["twosided"] for mm in self.mats], bool),
+            opacity_tex=jnp.asarray([mm["opacity_tex"] for mm in self.mats], jnp.int32),
+        )
+
+        textures = self._build_textures()
+
+        # spheres
+        S = len(self.spheres)
+        if S:
+            sc = np.stack([s[0] for s in self.spheres]).astype(np.float32)
+            sr = np.array([s[1] for s in self.spheres], np.float32)
+            sm = np.array([s[2] for s in self.spheres], np.int32)
+            se = np.array([s[3] for s in self.spheres], np.int32)
+        else:
+            sc = np.zeros((1, 3), np.float32)
+            sr = np.zeros(1, np.float32)
+            sm = np.zeros(1, np.int32)
+            se = np.full(1, -1, np.int32)
+
+        # BVH (only if worthwhile)
+        use_bvh = T > BRUTE_FORCE_MAX_TRIS
+        if T > 0:
+            lo, hi = triangle_aabbs(tp0, tp0 + te1, tp0 + te2)
+            if use_bvh:
+                host_bvh = build_bvh(lo, hi)
+            else:
+                host_bvh = build_bvh(lo, hi, leaf_size=max(T, 1))
+            bvh = DeviceBVH.from_host(
+                host_bvh,
+                tp0.astype(np.float32), te1.astype(np.float32), te2.astype(np.float32),
+            )
+            scene_lo = lo.min(axis=0)
+            scene_hi = hi.max(axis=0)
+        else:
+            host_bvh = build_bvh(np.zeros((1, 3)), np.ones((1, 3)) * 1e-9)
+            bvh = DeviceBVH.from_host(
+                host_bvh, tp0.astype(np.float32), te1.astype(np.float32),
+                te2.astype(np.float32),
+            )
+            scene_lo = np.zeros(3)
+            scene_hi = np.ones(3)
+        if S:
+            scene_lo = np.minimum(scene_lo, (sc - sr[:, None]).min(axis=0))
+            scene_hi = np.maximum(scene_hi, (sc + sr[:, None]).max(axis=0))
+        radius = 0.5 * float(np.linalg.norm(scene_hi - scene_lo)) + 1e-3
+
+        scene = Scene(
+            tri_p0=jnp.asarray(tp0, jnp.float32),
+            tri_e1=jnp.asarray(te1, jnp.float32),
+            tri_e2=jnp.asarray(te2, jnp.float32),
+            tri_n0=jnp.asarray(tn0, jnp.float32),
+            tri_n1=jnp.asarray(tn1, jnp.float32),
+            tri_n2=jnp.asarray(tn2, jnp.float32),
+            tri_uv0=jnp.asarray(tuv0, jnp.float32),
+            tri_uv1=jnp.asarray(tuv1, jnp.float32),
+            tri_uv2=jnp.asarray(tuv2, jnp.float32),
+            tri_gn=jnp.asarray(tgn, jnp.float32),
+            tri_mat=jnp.asarray(tmat),
+            tri_emitter=jnp.asarray(tem),
+            tri_nee_pdf_area=jnp.asarray(tri_nee),
+            sph_center=jnp.asarray(sc),
+            sph_radius=jnp.asarray(sr),
+            sph_mat=jnp.asarray(sm),
+            sph_emitter=jnp.asarray(se),
+            bvh=bvh,
+            materials=materials,
+            textures=textures,
+            emitters=emitters,
+            aabb_lo=jnp.asarray(scene_lo, jnp.float32),
+            aabb_hi=jnp.asarray(scene_hi, jnp.float32),
+            radius=jnp.asarray(radius, jnp.float32),
+        )
+        static = SceneStatic(
+            n_tris=T,
+            n_spheres=S,
+            use_bvh=use_bvh,
+            bsdf_types=tuple(sorted({mm["type"] for mm in self.mats})),
+            emitter_types=tuple(sorted({e["type"] for e in self.emitters})),
+            has_env=env_index >= 0,
+        )
+        return scene, static
+
+    def _build_textures(self) -> TextureTable:
+        if not self.textures:
+            return TextureTable.empty()
+        K = len(self.textures)
+        if self.bitmaps:
+            Hm = max(b.shape[0] for b in self.bitmaps)
+            Wm = max(b.shape[1] for b in self.bitmaps)
+            stack = np.zeros((len(self.bitmaps), Hm, Wm, 3), np.float32)
+            sizes = np.zeros((len(self.bitmaps), 2), np.int32)
+            for i, b in enumerate(self.bitmaps):
+                stack[i, : b.shape[0], : b.shape[1]] = b[..., :3]
+                sizes[i] = (b.shape[0], b.shape[1])
+        else:
+            stack = np.zeros((1, 1, 1, 3), np.float32)
+            sizes = np.ones((1, 2), np.int32)
+        return TextureTable(
+            type=jnp.asarray([t["type"] for t in self.textures], jnp.int32),
+            color0=jnp.asarray([t["color0"] for t in self.textures], jnp.float32),
+            color1=jnp.asarray([t["color1"] for t in self.textures], jnp.float32),
+            uv_scale=jnp.asarray([t["uv_scale"] for t in self.textures], jnp.float32),
+            uv_offset=jnp.asarray([t["uv_offset"] for t in self.textures], jnp.float32),
+            line_width=jnp.asarray([t["line_width"] for t in self.textures], jnp.float32),
+            scale=jnp.asarray([t["scale"] for t in self.textures], jnp.float32),
+            bitmap_idx=jnp.asarray([t["bitmap"] for t in self.textures], jnp.int32),
+            stack=jnp.asarray(stack),
+            sizes=jnp.asarray(sizes),
+        )
+
+
+def _build_envmap(e: dict):
+    """Precompute the row/column luminance CDFs + solid-angle pdf table
+    (envmap.cpp:99-299 importance sampling)."""
+    img = np.asarray(e["env_map"], np.float32)
+    if img.ndim == 2:
+        img = np.repeat(img[..., None], 3, -1)
+    H, W = img.shape[:2]
+    lum = img[..., 0] * 0.212671 + img[..., 1] * 0.715160 + img[..., 2] * 0.072169
+    theta = (np.arange(H) + 0.5) / H * np.pi
+    sin_t = np.sin(theta)
+    w = lum * sin_t[:, None] + 1e-12
+    row_w = w.sum(axis=1)
+    cdf_rows = np.cumsum(row_w) / row_w.sum()
+    cdf_rows[-1] = 1.0
+    cdf_cond = np.cumsum(w, axis=1) / w.sum(axis=1, keepdims=True)
+    cdf_cond[:, -1] = 1.0
+    # solid-angle pdf: p(texel) / texel_solid_angle
+    p_texel = w / w.sum()
+    texel_sa = (2 * np.pi / W) * (np.pi / H) * sin_t[:, None]
+    pdf = p_texel / np.maximum(texel_sa, 1e-12)
+    return dict(
+        env_map=img.astype(np.float32),
+        env_cdf_rows=cdf_rows.astype(np.float32),
+        env_cdf_cond=cdf_cond.astype(np.float32),
+        env_pdf=pdf.astype(np.float32),
+        env_to_world=np.asarray(e.get("env_to_world", np.eye(3)), np.float32),
+        env_scale=np.asarray(e.get("env_scale", 1.0), np.float32),
+    )

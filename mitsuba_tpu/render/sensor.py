@@ -1,0 +1,177 @@
+"""Sensors / cameras (reference: src/sensors/*, sensor.h:143-265).
+
+Parity: perspective.cpp, thinlens.cpp (depth of field), orthographic.cpp,
+spherical.cpp, plus the measurement sensors radiancemeter.cpp /
+irradiancemeter.cpp used by the radiometric test scenes. telecentric and
+perspective_rdist later.
+
+A sensor is a small pytree of camera constants; ``sample_ray`` maps film
+positions in [0,1)^2 (+ aperture/direction samples) to world-space rays.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import math as m
+from ..core import warp
+from ..core.transform import Transform
+
+PERSPECTIVE = 0
+THINLENS = 1
+ORTHOGRAPHIC = 2
+SPHERICAL = 3
+RADIANCEMETER = 4
+IRRADIANCEMETER = 5
+
+
+class Sensor(NamedTuple):
+    type: jnp.ndarray          # () int32
+    to_world: jnp.ndarray      # (4, 4) camera-to-world
+    tan_half_fov: jnp.ndarray  # () tan(fov_x / 2)
+    aspect: jnp.ndarray        # () width/height
+    aperture_radius: jnp.ndarray  # () thinlens
+    focus_distance: jnp.ndarray   # ()
+    ortho_scale: jnp.ndarray   # (2,) orthographic half-extents
+    near: jnp.ndarray          # ()
+
+    @property
+    def position(self):
+        return self.to_world[:3, 3]
+
+
+def make_perspective(to_world: Transform, fov_deg: float, width: int, height: int,
+                     fov_axis: str = "x", near: float = 1e-2) -> Sensor:
+    """fov semantics follow perspective.cpp (fovAxis x default)."""
+    aspect = width / height
+    t = np.tan(np.deg2rad(fov_deg) / 2.0)
+    if fov_axis == "y":
+        t = t * aspect
+    elif fov_axis == "smaller":
+        if aspect < 1.0:
+            t = t * aspect
+    elif fov_axis == "larger":
+        if aspect > 1.0:
+            t = t * aspect
+    elif fov_axis == "diagonal":
+        d = np.hypot(1.0, 1.0 / aspect)
+        t = t / d
+    return Sensor(
+        type=jnp.asarray(PERSPECTIVE, jnp.int32),
+        to_world=jnp.asarray(to_world.m, jnp.float32),
+        tan_half_fov=jnp.asarray(t, jnp.float32),
+        aspect=jnp.asarray(aspect, jnp.float32),
+        aperture_radius=jnp.asarray(0.0, jnp.float32),
+        focus_distance=jnp.asarray(1.0, jnp.float32),
+        ortho_scale=jnp.ones(2, jnp.float32),
+        near=jnp.asarray(near, jnp.float32),
+    )
+
+
+def make_thinlens(to_world: Transform, fov_deg: float, width: int, height: int,
+                  aperture_radius: float, focus_distance: float,
+                  fov_axis: str = "x") -> Sensor:
+    s = make_perspective(to_world, fov_deg, width, height, fov_axis)
+    return s._replace(
+        type=jnp.asarray(THINLENS, jnp.int32),
+        aperture_radius=jnp.asarray(aperture_radius, jnp.float32),
+        focus_distance=jnp.asarray(focus_distance, jnp.float32),
+    )
+
+
+def make_orthographic(to_world: Transform, width: int, height: int) -> Sensor:
+    """ortho_scale comes from the to_world scaling like orthographic.cpp."""
+    aspect = width / height
+    return Sensor(
+        type=jnp.asarray(ORTHOGRAPHIC, jnp.int32),
+        to_world=jnp.asarray(to_world.m, jnp.float32),
+        tan_half_fov=jnp.asarray(1.0, jnp.float32),
+        aspect=jnp.asarray(aspect, jnp.float32),
+        aperture_radius=jnp.asarray(0.0, jnp.float32),
+        focus_distance=jnp.asarray(1.0, jnp.float32),
+        ortho_scale=jnp.asarray([1.0, 1.0 / aspect], jnp.float32),
+        near=jnp.asarray(0.0, jnp.float32),
+    )
+
+
+def make_spherical(to_world: Transform) -> Sensor:
+    return Sensor(
+        type=jnp.asarray(SPHERICAL, jnp.int32),
+        to_world=jnp.asarray(to_world.m, jnp.float32),
+        tan_half_fov=jnp.asarray(1.0, jnp.float32),
+        aspect=jnp.asarray(1.0, jnp.float32),
+        aperture_radius=jnp.asarray(0.0, jnp.float32),
+        focus_distance=jnp.asarray(1.0, jnp.float32),
+        ortho_scale=jnp.ones(2, jnp.float32),
+        near=jnp.asarray(0.0, jnp.float32),
+    )
+
+
+def make_radiancemeter(origin, direction) -> Sensor:
+    d = np.asarray(direction, float)
+    d = d / np.linalg.norm(d)
+    up = np.array([0.0, 1.0, 0.0]) if abs(d[1]) < 0.99 else np.array([1.0, 0.0, 0.0])
+    t = Transform.look_at(origin, np.asarray(origin) + d, up)
+    return make_spherical(t)._replace(type=jnp.asarray(RADIANCEMETER, jnp.int32))
+
+
+def sample_ray(sensor: Sensor, uv, u_aperture):
+    """uv in [0,1)^2 (R, 2) film position; u_aperture (R, 2).
+
+    Returns (o, d) world rays. The importance weight is 1 for all supported
+    sensors (perspective.cpp importance handling folds into pixel estimates).
+    """
+    R = uv.shape[0]
+    stype = sensor.type
+    # camera-space target on the virtual image plane at z=1
+    x = (2.0 * uv[..., 0] - 1.0) * sensor.tan_half_fov
+    y = (1.0 - 2.0 * uv[..., 1]) * sensor.tan_half_fov / sensor.aspect
+    d_cam = m.normalize(jnp.stack([x, y, jnp.ones_like(x)], axis=-1))
+    o_cam = jnp.zeros((R, 3))
+
+    # thinlens.cpp: offset origin on the aperture disk, refocus
+    lens = warp.square_to_uniform_disk_concentric(u_aperture) * sensor.aperture_radius
+    focus_t = sensor.focus_distance / jnp.maximum(d_cam[..., 2], 1e-6)
+    p_focus = d_cam * focus_t[..., None]
+    o_lens = jnp.stack([lens[..., 0], lens[..., 1], jnp.zeros_like(x)], axis=-1)
+    d_lens = m.normalize(p_focus - o_lens)
+    use_lens = stype == THINLENS
+    o_cam = jnp.where(use_lens, o_lens, o_cam)
+    d_cam = jnp.where(use_lens, d_lens, d_cam)
+
+    # orthographic.cpp: parallel rays
+    o_ortho = jnp.stack(
+        [
+            (2.0 * uv[..., 0] - 1.0) * sensor.ortho_scale[0],
+            (1.0 - 2.0 * uv[..., 1]) * sensor.ortho_scale[1],
+            jnp.zeros_like(x),
+        ],
+        axis=-1,
+    )
+    d_ortho = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), d_cam.shape)
+    is_ortho = stype == ORTHOGRAPHIC
+    o_cam = jnp.where(is_ortho, o_ortho, o_cam)
+    d_cam = jnp.where(is_ortho, d_ortho, d_cam)
+
+    # spherical.cpp: lat-long over the full sphere
+    theta = uv[..., 1] * jnp.pi
+    phi = uv[..., 0] * 2.0 * jnp.pi - jnp.pi
+    d_sph = jnp.stack(
+        [jnp.sin(theta) * jnp.sin(phi), jnp.cos(theta), -jnp.sin(theta) * jnp.cos(phi)],
+        axis=-1,
+    )
+    is_sph = (stype == SPHERICAL) | (stype == RADIANCEMETER)
+    d_cam = jnp.where(is_sph, d_sph, d_cam)
+    # radiancemeter: single fixed direction +z
+    d_cam = jnp.where(
+        stype == RADIANCEMETER,
+        jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), d_cam.shape),
+        d_cam,
+    )
+
+    A = sensor.to_world
+    o_w = o_cam @ A[:3, :3].T + A[:3, 3]
+    d_w = m.normalize(d_cam @ A[:3, :3].T)
+    return o_w, d_w
