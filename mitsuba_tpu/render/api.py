@@ -95,7 +95,8 @@ def render_pass(scene, static, sensor, cfg: icommon.IntegratorConfig,
         u_ap = rng_mod.uniform2(seed, pixel_idx, sample_idx, icommon.DIM_APERTURE)
         o, d = sensor_mod.sample_ray(sensor, uv, u_ap)
         L = li(scene, static, cfg, o, d, seed, pixel_idx, sample_idx)
-        if settings.filter_type == rfilter.BOX:
+        if settings.filter_type == rfilter.BOX and pixel_idx.shape[0] == H * W:
+            # full-image fast path: one jittered sample per pixel lane
             img = L.reshape(H, W, 3)
             film = film_mod.splat_aligned(film, img)
         else:

@@ -41,10 +41,14 @@ class _PathState(NamedTuple):
     prev_pdf: jnp.ndarray
     prev_delta: jnp.ndarray
     eta: jnp.ndarray
+    n_rays: jnp.ndarray  # issued ray-query counter (closest + shadow)
 
 
-def li(scene, static, cfg: IntegratorConfig, o, d, seed, pixel, sample):
-    """Radiance along primary rays o,d (R,3). Returns (R,3)."""
+def li(scene, static, cfg: IntegratorConfig, o, d, seed, pixel, sample,
+       with_stats: bool = False):
+    """Radiance along primary rays o,d (R,3). Returns (R,3), or
+    ((R,3), n_rays) with the exact number of issued ray queries (the
+    honest kdbench-style rays/s denominator) when with_stats."""
     R = o.shape[0]
     types = static.bsdf_types
     max_depth = cfg.max_depth if cfg.max_depth > 0 else 16
@@ -58,6 +62,7 @@ def li(scene, static, cfg: IntegratorConfig, o, d, seed, pixel, sample):
         prev_pdf=jnp.zeros(R),
         prev_delta=jnp.ones(R, bool),  # the sensor vertex counts as delta
         eta=jnp.ones(R),
+        n_rays=jnp.zeros((), jnp.float32),
     )
 
     def bounce(i, s: _PathState):
@@ -65,6 +70,7 @@ def li(scene, static, cfg: IntegratorConfig, o, d, seed, pixel, sample):
         first = depth == 1
         dim0 = DIM_BASE + i * DIMS_PER_BOUNCE
         L, thr, o, d, active = s.L, s.thr, s.o, s.d, s.active
+        n_rays = s.n_rays + jnp.sum(active.astype(jnp.float32))
 
         its = scene_mod.ray_intersect(
             scene, static, o, d, 1e-4, jnp.inf, active=active
@@ -101,6 +107,7 @@ def li(scene, static, cfg: IntegratorConfig, o, d, seed, pixel, sample):
             u_nee = rng_mod.uniform4(seed, pixel, sample, dim0 + DIM_NEE)
             ds = em_mod.sample_direct(scene, static, its.p, u_nee[..., :3])
             nee_ok = extend & ds.valid & (ds.pdf_sa > 0)
+            n_rays = n_rays + jnp.sum(nee_ok.astype(jnp.float32))
             o_sh = ray_offset(its.p, its.gn, ds.d)
             vis = ~scene_mod.occluded(
                 scene, static, o_sh, ds.d, 0.0, ds.dist * (1.0 - 1e-3),
@@ -124,8 +131,12 @@ def li(scene, static, cfg: IntegratorConfig, o, d, seed, pixel, sample):
         d_new = m.normalize(its.sh_frame.to_world(bs.wo))
         o_new = ray_offset(its.p, its.gn, d_new)
 
-        # --- Russian roulette (path.cpp:276-286), only past rr_depth
-        q = jnp.minimum(jnp.max(thr_new, axis=-1) * eta * eta, 0.95)
+        # --- Russian roulette (path.cpp:276-286), only past rr_depth.
+        # q is a sampling probability: detach it so the 1/q compensation
+        # stays an unbiased constant under AD (detached-sampling estimator).
+        q = jax.lax.stop_gradient(
+            jnp.minimum(jnp.max(thr_new, axis=-1) * eta * eta, 0.95)
+        )
         u_rr = rng_mod.uniform1(seed, pixel, sample, dim0 + DIM_RR)
         do_rr = depth >= cfg.rr_depth
         survive = jnp.where(do_rr, u_rr < q, True)
@@ -142,7 +153,10 @@ def li(scene, static, cfg: IntegratorConfig, o, d, seed, pixel, sample):
             prev_pdf=jnp.where(active_next, bs.pdf, s.prev_pdf),
             prev_delta=jnp.where(active_next, bs.is_delta, s.prev_delta),
             eta=eta,
+            n_rays=n_rays,
         )
 
     out = jax.lax.fori_loop(0, max_depth, bounce, init)
+    if with_stats:
+        return out.L, out.n_rays
     return out.L

@@ -69,5 +69,6 @@ def eval_1d(ftype: int, x):
 
 
 def footprint(ftype: int) -> int:
-    """Half-width in whole pixels of the splat footprint."""
-    return int(np.ceil(RADIUS[ftype] - 0.5 + 1e-6))
+    """Half-width in whole pixels of the splat footprint (>= 1 so even the
+    box filter's single containing pixel is covered by the tap window)."""
+    return max(1, int(np.ceil(RADIUS[ftype] - 0.5 + 1e-6)))
