@@ -142,6 +142,9 @@ def refract(wi, n, eta):
     wi points away from the surface, on the same side as n.
     Returns (valid, wt): valid is False on total internal reflection.
     """
+    eta = jnp.asarray(eta)
+    if eta.ndim == wi.ndim - 1:
+        eta = eta[..., None]  # align with the kept vector axis
     cos_i = dot(wi, n, keepdims=True)
     inv_eta = 1.0 / eta
     sin2_t = inv_eta * inv_eta * jnp.maximum(0.0, 1.0 - cos_i * cos_i)

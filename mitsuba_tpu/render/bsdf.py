@@ -393,8 +393,9 @@ def _rough_dielectric_eval(bl, dist: int, wi, wo):
     mh = mh * jnp.sign(mh[..., 2:3])  # keep upper hemisphere
     D = mf.eval_d(dist, au, av, mh)
     G = mf.smith_g(dist, au, av, wi, wo, mh)
-    F = _smooth_fresnel(bl, m.dot(wi, mh) * jnp.sign(ci))
-    F = jnp.where(ci > 0, _smooth_fresnel(bl, m.dot(wi, mh)), F)
+    # mh is upper-oriented, so dot(wi, mh) is the correctly *signed* cosine:
+    # negative for rays arriving from inside -> fresnel picks 1/eta branch
+    F = _smooth_fresnel(bl, m.dot(wi, mh))
 
     f_r = m.safe_div(D * G * F, 4.0 * jnp.abs(ci))
     dot_i, dot_o = m.dot(wi, mh), m.dot(wo, mh)
@@ -422,13 +423,21 @@ def _rough_dielectric_pdf(bl, dist: int, wi, wo):
     mh = mh * jnp.sign(mh[..., 2:3])
     wi_up = wi * jnp.sign(ci)[..., None]
     p_m = mf.pdf(dist, au, av, wi_up, mh)
-    F = _smooth_fresnel(bl, m.dot(wi, mh) * jnp.sign(ci))
+    F = _smooth_fresnel(bl, m.dot(wi, mh))  # signed cosine (see eval)
     dot_i, dot_o = m.dot(wi, mh), m.dot(wo, mh)
+    # physical-configuration checks (eval gets these through Smith G; the
+    # pdf needs them explicitly or it reports phantom mass in transmission
+    # directions that sampling can never reach):
+    #  * wi must see the front of the microfacet,
+    #  * reflection keeps wo on the same side of mh, transmission crosses.
+    front = dot_i * ci > 0
+    side = jnp.where(is_reflect, dot_i * dot_o > 0, dot_i * dot_o < 0)
     jac_r = m.safe_div(1.0, 4.0 * jnp.abs(dot_o))
     sqrt_denom = dot_i + rel_eta * dot_o
     jac_t = m.safe_div(rel_eta * rel_eta * jnp.abs(dot_o), sqrt_denom * sqrt_denom)
     prob = jnp.where(is_reflect, F, 1.0 - F)
-    return jnp.maximum(prob * p_m * jnp.where(is_reflect, jac_r, jac_t), 0.0)
+    pdf_val = prob * p_m * jnp.where(is_reflect, jac_r, jac_t)
+    return jnp.where(front & side, jnp.maximum(pdf_val, 0.0), 0.0)
 
 
 def _rough_dielectric_sample(bl, dist: int, wi, u_lobe, u2):

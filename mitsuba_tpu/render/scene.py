@@ -124,7 +124,10 @@ def ray_intersect(scene: Scene, static: SceneStatic, o, d, t_min, t_max,
 
     valid = hit_t | sphere_closer
     t = jnp.where(sphere_closer, sph_t, tri_t)
-    p = o + t[..., None] * d
+    # sanitized position for invalid lanes: inf positions would poison
+    # downstream NEE math and, through 0*NaN cotangents, the backward pass
+    t_safe = jnp.where(valid, t, 1.0)
+    p = o + t_safe[..., None] * d
 
     # --- triangle shading data ---
     ti = jnp.maximum(tri_idx, 0)

@@ -10,6 +10,12 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+import jax
+
+# the axon harness overrides JAX_PLATFORMS during jax init; config.update
+# after import is authoritative (see .claude/skills/verify/SKILL.md)
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 import pytest
 

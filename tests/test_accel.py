@@ -1,0 +1,93 @@
+"""BVH build + traversal correctness (reference: test_kd.cpp role).
+
+Ground truth is the brute-force intersector over the same triangles.
+"""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mitsuba_tpu.accel.build import build_bvh, triangle_aabbs
+from mitsuba_tpu.accel.traverse import DeviceBVH, bvh_any_hit, bvh_closest_hit
+from mitsuba_tpu.ops.intersect import ray_brute_force_tris
+
+
+def random_mesh(n_tris, seed, spread=1.0, size=0.3):
+    rng = np.random.default_rng(seed)
+    base = rng.uniform(-spread, spread, (n_tris, 3))
+    p0 = base
+    e1 = rng.normal(0, size, (n_tris, 3))
+    e2 = rng.normal(0, size, (n_tris, 3))
+    return (
+        p0.astype(np.float32),
+        e1.astype(np.float32),
+        e2.astype(np.float32),
+    )
+
+
+def random_rays(n, seed):
+    rng = np.random.default_rng(seed)
+    o = rng.uniform(-2, 2, (n, 3)).astype(np.float32)
+    d = rng.normal(0, 1, (n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    return jnp.asarray(o), jnp.asarray(d)
+
+
+@pytest.mark.parametrize("n_tris,seed", [(10, 0), (257, 1), (2000, 2)])
+def test_bvh_matches_brute_force(n_tris, seed):
+    p0, e1, e2 = random_mesh(n_tris, seed)
+    lo, hi = triangle_aabbs(p0, p0 + e1, p0 + e2)
+    bvh = build_bvh(lo, hi)
+    dev = DeviceBVH.from_host(bvh, p0, e1, e2)
+
+    o, d = random_rays(512, seed + 10)
+    t_min = jnp.zeros(512)
+    t_max = jnp.full(512, np.inf)
+    h_b, t_b, i_b, u_b, v_b = ray_brute_force_tris(
+        o, d, jnp.asarray(p0), jnp.asarray(e1), jnp.asarray(e2), t_min, t_max
+    )
+    h_v, t_v, i_v, u_v, v_v = bvh_closest_hit(dev, o, d, t_min, t_max)
+
+    np.testing.assert_array_equal(np.asarray(h_b), np.asarray(h_v))
+    hb = np.asarray(h_b)
+    # distances must agree (index may differ on exact ties)
+    np.testing.assert_allclose(
+        np.asarray(t_b)[hb], np.asarray(t_v)[hb], rtol=1e-5, atol=1e-6
+    )
+    same = np.asarray(i_b) == np.asarray(i_v)
+    assert same[hb].mean() > 0.99  # ties are rare
+
+    occ = bvh_any_hit(dev, o, d, t_min, t_max)
+    np.testing.assert_array_equal(np.asarray(occ), hb)
+
+
+def test_bvh_tmax_clipping():
+    p0, e1, e2 = random_mesh(100, 3)
+    lo, hi = triangle_aabbs(p0, p0 + e1, p0 + e2)
+    dev = DeviceBVH.from_host(build_bvh(lo, hi), p0, e1, e2)
+    o, d = random_rays(256, 4)
+    t_min = jnp.zeros(256)
+    h_full, t_full, _, _, _ = bvh_closest_hit(dev, o, d, t_min, jnp.full(256, np.inf))
+    # clip just below each hit: ray must now miss (or hit something closer)
+    t_clip = jnp.where(jnp.isfinite(t_full), t_full * 0.99, 1e-3)
+    h_clip, t_c, _, _, _ = bvh_closest_hit(dev, o, d, t_min, t_clip)
+    hc = np.asarray(h_clip)
+    tc = np.asarray(t_c)
+    tcl = np.asarray(t_clip)
+    assert (tc[hc] <= tcl[hc] + 1e-6).all()
+
+
+def test_bvh_structure_valid():
+    p0, e1, e2 = random_mesh(999, 7)
+    lo, hi = triangle_aabbs(p0, p0 + e1, p0 + e2)
+    bvh = build_bvh(lo, hi)
+    N = len(bvh.lo)
+    # skip links always advance and stay in range
+    assert (bvh.skip > np.arange(N)).all()
+    assert (bvh.skip <= N).all()
+    # leaves cover every primitive exactly once
+    leaf = bvh.prim_first >= 0
+    covered = np.zeros(999, bool)
+    for f, c in zip(bvh.prim_first[leaf], bvh.prim_count[leaf]):
+        assert not covered[bvh.prim_order[f : f + c]].any()
+        covered[bvh.prim_order[f : f + c]] = True
+    assert covered.all()

@@ -1,0 +1,174 @@
+"""BSDF correctness: chi-square sample-vs-pdf agreement for every smooth
+lobe (the reference's test_chisquare.cpp program), energy conservation, and
+delta-lobe physical checks (Fresnel / Snell, test-style of dielectric.cpp).
+"""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mitsuba_tpu.core import math as m
+from mitsuba_tpu.core import rng
+from mitsuba_tpu.render import bsdf as B
+from mitsuba_tpu.render import microfacet as mf
+from mitsuba_tpu.utils.chi2 import chi2_test
+
+N = 300_000
+
+
+def make_locals(n, **kw):
+    defaults = dict(
+        type=B.DIFFUSE, dist=mf.GGX, albedo=(0.6, 0.4, 0.25),
+        spec_refl=(1.0, 1.0, 1.0), spec_trans=(1.0, 1.0, 1.0),
+        eta=(1.5, 1.5, 1.5), k=(0.0, 0.0, 0.0), alpha=(0.3, 0.3),
+        nonlinear=False, twosided=False,
+    )
+    defaults.update(kw)
+    d = defaults
+
+    def full(v, shape):
+        return jnp.broadcast_to(jnp.asarray(v, dtype=jnp.float32), shape)
+
+    return B.BsdfLocals(
+        type=jnp.full((n,), d["type"], jnp.int32),
+        dist=jnp.full((n,), d["dist"], jnp.int32),
+        albedo=full(d["albedo"], (n, 3)),
+        spec_refl=full(d["spec_refl"], (n, 3)),
+        spec_trans=full(d["spec_trans"], (n, 3)),
+        eta_s=jnp.full((n,), d["eta"][0]),
+        eta_c=full(d["eta"], (n, 3)),
+        k_c=full(d["k"], (n, 3)),
+        alpha=full(d["alpha"], (n, 2)),
+        nonlinear=jnp.full((n,), d["nonlinear"], bool),
+        twosided=jnp.full((n,), d["twosided"], bool),
+    )
+
+
+def _wi(theta_deg, n):
+    t = np.deg2rad(theta_deg)
+    wi = jnp.asarray([np.sin(t), 0.0, np.cos(t)], jnp.float32)
+    return jnp.broadcast_to(wi, (n, 3))
+
+
+CONFIGS = [
+    ("diffuse_30", dict(type=B.DIFFUSE), 30.0),
+    ("roughdiffuse_45", dict(type=B.ROUGH_DIFFUSE, alpha=(0.4, 0.4)), 45.0),
+    ("roughcond_ggx_30", dict(type=B.ROUGH_CONDUCTOR, dist=mf.GGX,
+                              eta=(0.2, 0.92, 1.1), k=(3.9, 2.45, 2.14),
+                              alpha=(0.3, 0.3)), 30.0),
+    ("roughcond_ggx_grazing", dict(type=B.ROUGH_CONDUCTOR, dist=mf.GGX,
+                                   eta=(0.2, 0.92, 1.1), k=(3.9, 2.45, 2.14),
+                                   alpha=(0.1, 0.1)), 75.0),
+    ("roughcond_beck_30", dict(type=B.ROUGH_CONDUCTOR, dist=mf.BECKMANN,
+                               eta=(0.2, 0.92, 1.1), k=(3.9, 2.45, 2.14),
+                               alpha=(0.3, 0.3)), 30.0),
+    ("roughcond_aniso", dict(type=B.ROUGH_CONDUCTOR, dist=mf.GGX,
+                             eta=(0.2, 0.92, 1.1), k=(3.9, 2.45, 2.14),
+                             alpha=(0.1, 0.4)), 40.0),
+    ("plastic_30", dict(type=B.PLASTIC, eta=(1.49, 1.49, 1.49)), 30.0),
+    ("roughplastic_45", dict(type=B.ROUGH_PLASTIC, dist=mf.GGX,
+                             eta=(1.49, 1.49, 1.49), alpha=(0.2, 0.2)), 45.0),
+    ("roughdielectric_out", dict(type=B.ROUGH_DIELECTRIC, dist=mf.GGX,
+                                 eta=(1.5, 1.5, 1.5), alpha=(0.3, 0.3)), 30.0),
+    ("roughdielectric_in", dict(type=B.ROUGH_DIELECTRIC, dist=mf.GGX,
+                                eta=(1.5, 1.5, 1.5), alpha=(0.3, 0.3)), 150.0),
+    ("phong_30", dict(type=B.PHONG, alpha=(0.2, 0.2),
+                      albedo=(0.3, 0.3, 0.3), spec_refl=(0.4, 0.4, 0.4)), 30.0),
+]
+
+
+@pytest.mark.parametrize("name,mat,theta", CONFIGS, ids=[c[0] for c in CONFIGS])
+def test_bsdf_chi2(name, mat, theta):
+    types = (mat["type"],)
+
+    def sample_fn(n):
+        bl = make_locals(n, **mat)
+        wi = _wi(theta, n)
+        u = rng.uniform4(hash(name) % 1000, jnp.arange(n, dtype=jnp.int32), 0, 0)
+        bs = B.sample(bl, wi, u[..., 0], u[..., 1:3], active_types=types)
+        ok = (bs.pdf > 0) & ~bs.is_delta
+        return np.where(np.asarray(ok)[:, None], np.asarray(bs.wo), 0.0)
+
+    def pdf_fn(d):
+        n = d.shape[0]
+        bl = make_locals(n, **mat)
+        wi = _wi(theta, n)
+        return B.pdf(bl, wi, d, active_types=types)
+
+    ok, pval, stat, dof, info = chi2_test(
+        sample_fn, pdf_fn, n_samples=N, significance=0.0005
+    )
+    assert ok, f"{name}: {info}"
+
+
+@pytest.mark.parametrize(
+    "mat",
+    [
+        dict(type=B.DIFFUSE, albedo=(1.0, 1.0, 1.0)),
+        dict(type=B.ROUGH_CONDUCTOR, dist=mf.GGX, eta=(1e-4,) * 3, k=(0.0,) * 3,
+             alpha=(0.3, 0.3)),
+    ],
+    ids=["white_diffuse", "perfect_mirror_rough"],
+)
+def test_energy_conservation(mat):
+    """White-furnace check: sum of sample weights must be <= 1 per channel
+    (no energy gain) for unit-reflectance materials."""
+    n = 200_000
+    bl = make_locals(n, **mat)
+    wi = _wi(30.0, n)
+    u = rng.uniform4(11, jnp.arange(n, dtype=jnp.int32), 0, 0)
+    bs = B.sample(bl, wi, u[..., 0], u[..., 1:3], active_types=(mat["type"],))
+    w = np.asarray(bs.weight)
+    mean_w = w.mean(axis=0)
+    assert (mean_w <= 1.0 + 5e-3).all(), f"energy gain: {mean_w}"
+    assert mean_w.min() > 0.5, f"suspiciously lossy: {mean_w}"
+
+
+def test_diffuse_reciprocity():
+    n = 1000
+    bl = make_locals(n)
+    u = rng.uniform4(5, jnp.arange(n, dtype=jnp.int32), 0, 0)
+    from mitsuba_tpu.core import warp
+
+    wi = warp.square_to_uniform_hemisphere(u[..., :2])
+    wo = warp.square_to_uniform_hemisphere(u[..., 2:])
+    # f(wi->wo)·cos θo / cos θo vs f(wo->wi): divide out the eval cosine
+    f_io = np.asarray(B.eval(bl, wi, wo)) / np.maximum(np.asarray(wo[..., 2:]), 1e-7)
+    f_oi = np.asarray(B.eval(bl, wo, wi)) / np.maximum(np.asarray(wi[..., 2:]), 1e-7)
+    np.testing.assert_allclose(f_io, f_oi, rtol=1e-4, atol=1e-6)
+
+
+def test_smooth_dielectric_snell_and_fresnel():
+    """dielectric.cpp physics: refracted directions obey Snell's law; the
+    reflect/refract split converges to the analytic Fresnel coefficient."""
+    n = 200_000
+    bl = make_locals(n, type=B.DIELECTRIC, eta=(1.5, 1.5, 1.5))
+    wi = _wi(45.0, n)
+    u = rng.uniform4(21, jnp.arange(n, dtype=jnp.int32), 0, 0)
+    bs = B.sample(bl, wi, u[..., 0], u[..., 1:3], active_types=(B.DIELECTRIC,))
+    wo = np.asarray(bs.wo)
+    refracted = wo[:, 2] < 0
+    frac_reflect = 1.0 - refracted.mean()
+    F, _ = m.fresnel_dielectric(jnp.asarray([np.cos(np.deg2rad(45.0))]), 1.5)
+    assert abs(frac_reflect - float(F[0])) < 5e-3
+    # Snell: sinθi = eta · sinθt
+    sin_t = np.sqrt(np.maximum(1 - wo[refracted, 2] ** 2, 0))
+    np.testing.assert_allclose(
+        np.sin(np.deg2rad(45.0)), 1.5 * sin_t, rtol=1e-4, atol=1e-5
+    )
+    # all unit length
+    np.testing.assert_allclose(np.linalg.norm(wo, axis=1), 1.0, atol=1e-5)
+
+
+def test_conductor_reflect_exact():
+    n = 1024
+    bl = make_locals(n, type=B.CONDUCTOR, eta=(0.2, 0.92, 1.1), k=(3.9, 2.45, 2.14))
+    wi = _wi(30.0, n)
+    u = rng.uniform4(22, jnp.arange(n, dtype=jnp.int32), 0, 0)
+    bs = B.sample(bl, wi, u[..., 0], u[..., 1:3], active_types=(B.CONDUCTOR,))
+    wo = np.asarray(bs.wo)
+    wi_n = np.asarray(wi)
+    np.testing.assert_allclose(wo[:, 2], wi_n[:, 2], atol=1e-6)
+    np.testing.assert_allclose(wo[:, :2], -wi_n[:, :2], atol=1e-6)
+    # reflectance within [0, 1]
+    w = np.asarray(bs.weight)
+    assert (w >= 0).all() and (w <= 1.0).all()

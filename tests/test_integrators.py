@@ -1,0 +1,151 @@
+"""Radiometric integration tests (reference tier 2, data/tests/*.xml style):
+closed-form scenes + cross-integrator agreement (unidirectional integrators
+must agree with each other and with analytic answers)."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mitsuba_tpu.core.transform import Transform
+from mitsuba_tpu.render import api
+from mitsuba_tpu.render import bsdf as B
+from mitsuba_tpu.render import sensor as S
+from mitsuba_tpu.render import shapes
+from mitsuba_tpu.render.integrators.common import (
+    AO, DIRECT, FIELD, IntegratorConfig, PATH,
+)
+from mitsuba_tpu.render.scene import SceneBuilder
+
+
+def _render(scene, static, sens, cfg, w=16, h=16, spp=64, **kw):
+    st = api.RenderSettings(width=w, height=h, spp=spp,
+                            spp_per_pass=min(16, spp), filter_type=0, **kw)
+    return np.asarray(api.render(scene, static, sens, cfg, st))
+
+
+def test_env_only_exact():
+    b = SceneBuilder()
+    b.add_constant_emitter((0.3, 0.5, 0.7))
+    scene, static = b.build()
+    cam = Transform.look_at([0, 0, 0], [0, 0, 1], [0, 1, 0])
+    sens = S.make_perspective(cam, 60.0, 16, 16)
+    img = _render(scene, static, sens, IntegratorConfig(type=PATH, max_depth=5), spp=4)
+    np.testing.assert_allclose(
+        img, np.broadcast_to([0.3, 0.5, 0.7], img.shape), atol=1e-5
+    )
+
+
+def test_furnace_convex_sphere():
+    """Diffuse convex sphere under constant env: pixel = albedo * env
+    exactly (no interreflection on a convex body) — checks NEE + BSDF-MIS
+    combination sums correctly."""
+    b = SceneBuilder()
+    mat = b.add_material(type=B.DIFFUSE, albedo=(0.8, 0.6, 0.4))
+    b.add_sphere((0, 0, 2.0), 0.5, mat)
+    b.add_constant_emitter((1.0, 1.0, 1.0))
+    scene, static = b.build()
+    cam = Transform.look_at([0, 0, 0], [0, 0, 1], [0, 1, 0])
+    sens = S.make_perspective(cam, 10.0, 8, 8)
+    img = _render(scene, static, sens,
+                  IntegratorConfig(type=PATH, max_depth=8, rr_depth=64), w=8, h=8,
+                  spp=512)
+    center = img[3:5, 3:5].mean(axis=(0, 1))
+    np.testing.assert_allclose(center, np.asarray([0.8, 0.6, 0.4]), rtol=0.02)
+
+
+def test_direct_vs_path_depth2():
+    """direct (1 emitter + 1 bsdf sample, MIS) must agree with the path
+    tracer truncated at depth 2 — the cross-integrator consistency test
+    (reference data/tests/test_bidir cross-validation idea)."""
+    b = SceneBuilder()
+    shapes.cornell_box(b)
+    scene, static = b.build()
+    cam = Transform.look_at([0.5, 0.5, -1.39], [0.5, 0.5, 0.5], [0, 1, 0])
+    sens = S.make_perspective(cam, 39.0, 24, 24)
+    img_d = _render(scene, static, sens, IntegratorConfig(type=DIRECT),
+                    w=24, h=24, spp=192)
+    img_p = _render(scene, static, sens, IntegratorConfig(type=PATH, max_depth=2),
+                    w=24, h=24, spp=192)
+    # agreement in the mean (both unbiased estimators of the same integral)
+    np.testing.assert_allclose(img_d.mean(axis=(0, 1)), img_p.mean(axis=(0, 1)),
+                               rtol=0.03)
+
+
+def test_parallel_planes_irradiance():
+    """Analytic check (test_bidir_0.xml idea): a diffuse floor under a
+    large uniform area emitter plane at height h. For an infinite emitter
+    the floor irradiance E = pi * L (form factor 1), so floor radiance
+    = albedo * L (with emitter plane much larger than the gap)."""
+    L = 2.0
+    albedo = 0.5
+    b = SceneBuilder()
+    mat = b.add_material(type=B.DIFFUSE, albedo=(albedo,) * 3)
+    dark = b.add_material(type=B.DIFFUSE, albedo=(0, 0, 0))
+    # floor at y=0 (+y normal)
+    v = np.array([[-50, 0, -50], [-50, 0, 50], [50, 0, 50], [50, 0, -50]], float)
+    f = np.array([[0, 1, 2], [0, 2, 3]])
+    b.add_mesh(v, f, mat)
+    # emitter plane at y=1 facing down
+    v2 = np.array([[-50, 1, -50], [50, 1, -50], [50, 1, 50], [-50, 1, 50]], float)
+    b.add_mesh(v2, f, dark, emitter_radiance=(L, L, L))
+    scene, static = b.build()
+    # camera just above the floor looking straight down
+    cam = Transform.look_at([0, 0.5, 0], [0, 0, 0], [0, 0, 1])
+    sens = S.make_perspective(cam, 30.0, 8, 8)
+    img = _render(scene, static, sens,
+                  IntegratorConfig(type=DIRECT, emitter_samples=1, bsdf_samples=1),
+                  w=8, h=8, spp=512)
+    np.testing.assert_allclose(img.mean(), albedo * L, rtol=0.03)
+
+
+def test_point_light_inverse_square():
+    """Point emitter: floor radiance under normal incidence = albedo/pi *
+    I / r^2 (point.cpp radiometry)."""
+    I = 10.0
+    albedo = 0.6
+    r = 2.0
+    b = SceneBuilder()
+    mat = b.add_material(type=B.DIFFUSE, albedo=(albedo,) * 3)
+    v = np.array([[-50, 0, -50], [-50, 0, 50], [50, 0, 50], [50, 0, -50]], float)
+    f = np.array([[0, 1, 2], [0, 2, 3]])
+    b.add_mesh(v, f, mat)
+    b.add_point_light([0, r, 0], (I, I, I))
+    scene, static = b.build()
+    cam = Transform.look_at([0, 1.0, 0], [0, 0, 0], [0, 0, 1])
+    sens = S.make_perspective(cam, 2.0, 4, 4)  # tiny fov at nadir point
+    img = _render(scene, static, sens, IntegratorConfig(type=DIRECT),
+                  w=4, h=4, spp=64)
+    expected = albedo / np.pi * I / (r * r)
+    np.testing.assert_allclose(img.mean(), expected, rtol=0.02)
+
+
+def test_ao_flat_plane():
+    """AO of an unoccluded plane = 1."""
+    b = SceneBuilder()
+    mat = b.add_material(type=B.DIFFUSE, albedo=(0.5,) * 3)
+    v = np.array([[-50, 0, -50], [-50, 0, 50], [50, 0, 50], [50, 0, -50]], float)
+    f = np.array([[0, 1, 2], [0, 2, 3]])
+    b.add_mesh(v, f, mat)
+    scene, static = b.build()
+    cam = Transform.look_at([0, 1.0, 0], [0, 0, 0], [0, 0, 1])
+    sens = S.make_perspective(cam, 30.0, 8, 8)
+    img = _render(scene, static, sens, IntegratorConfig(type=AO, ray_length=0.5),
+                  w=8, h=8, spp=16)
+    np.testing.assert_allclose(img, 1.0, atol=1e-5)
+
+
+def test_field_aovs(cornell, cornell_cam):
+    scene, static = cornell
+    sens = S.make_perspective(cornell_cam, 39.0, 16, 16)
+    from mitsuba_tpu.render.integrators.common import FIELD_DISTANCE, FIELD_NORMAL
+
+    img_n = _render(scene, static, sens,
+                    IntegratorConfig(type=FIELD, field=FIELD_NORMAL),
+                    w=16, h=16, spp=1)
+    # normals are unit where hit
+    ln = np.linalg.norm(img_n, axis=-1)
+    assert ((np.abs(ln - 1) < 1e-4) | (ln < 1e-6)).all()
+    img_d = _render(scene, static, sens,
+                    IntegratorConfig(type=FIELD, field=FIELD_DISTANCE),
+                    w=16, h=16, spp=1)
+    d = img_d[..., 0]
+    assert d.max() < 3.0 and d[d > 0].min() > 0.5  # cornell box scale

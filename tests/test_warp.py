@@ -1,0 +1,77 @@
+"""Chi-square tests of the sampling warps (reference: warp.h list +
+test_chisquare.cpp methodology)."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mitsuba_tpu.core import rng, warp
+from mitsuba_tpu.utils.chi2 import chi2_test
+
+N = 400_000
+
+
+def _u2(n, salt):
+    return rng.uniform2(salt, jnp.arange(n, dtype=jnp.int32), 0, 0)
+
+
+@pytest.mark.parametrize(
+    "name,sample,pdf",
+    [
+        (
+            "uniform_sphere",
+            lambda n: warp.square_to_uniform_sphere(_u2(n, 1)),
+            lambda d: jnp.full(d.shape[:-1], warp.INV_FOURPI),
+        ),
+        (
+            "uniform_hemisphere",
+            lambda n: warp.square_to_uniform_hemisphere(_u2(n, 2)),
+            lambda d: jnp.where(d[..., 2] >= 0, warp.INV_TWOPI, 0.0),
+        ),
+        (
+            "cosine_hemisphere",
+            lambda n: warp.square_to_cosine_hemisphere(_u2(n, 3)),
+            lambda d: warp.square_to_cosine_hemisphere_pdf(d),
+        ),
+        (
+            "cone_0.5",
+            lambda n: warp.square_to_uniform_cone(_u2(n, 4), 0.5),
+            lambda d: jnp.where(
+                d[..., 2] >= 0.5, warp.square_to_uniform_cone_pdf(0.5), 0.0
+            ),
+        ),
+        (
+            # 0.875 lies exactly on a cosθ cell edge so the discontinuous
+            # pdf integrates exactly under midpoint quadrature
+            "cone_0.875",
+            lambda n: warp.square_to_uniform_cone(_u2(n, 5), 0.875),
+            lambda d: jnp.where(
+                d[..., 2] >= 0.875, warp.square_to_uniform_cone_pdf(0.875), 0.0
+            ),
+        ),
+    ],
+)
+def test_warp_chi2(name, sample, pdf):
+    ok, pval, stat, dof, info = chi2_test(sample, pdf, n_samples=N)
+    assert ok, f"{name}: {info}"
+
+
+def test_concentric_disk_in_unit_disk():
+    p = np.asarray(warp.square_to_uniform_disk_concentric(_u2(100_000, 7)))
+    r = np.hypot(p[:, 0], p[:, 1])
+    assert r.max() <= 1.0 + 1e-6
+    # uniform density: mean radius of uniform disk = 2/3
+    assert abs(r.mean() - 2.0 / 3.0) < 3e-3
+
+
+def test_triangle_warp_uniform():
+    b = np.asarray(warp.square_to_uniform_triangle(_u2(200_000, 8)))
+    assert (b >= -1e-7).all() and (b.sum(axis=1) <= 1 + 1e-6).all()
+    # barycentric expectation for uniform triangle: E[b0] = E[b1] = 1/3
+    assert abs(b[:, 0].mean() - 1 / 3) < 2e-3
+    assert abs(b[:, 1].mean() - 1 / 3) < 2e-3
+
+
+def test_std_normal_moments():
+    p = np.asarray(warp.square_to_std_normal(_u2(400_000, 9)))
+    assert abs(p.mean()) < 5e-3
+    assert abs(p.std() - 1.0) < 5e-3
