@@ -1,0 +1,116 @@
+"""IO tests: image formats, mesh loaders, XML scene pipeline."""
+import os
+
+import numpy as np
+import pytest
+
+from mitsuba_tpu.io import image as I
+from mitsuba_tpu.io import mesh as M
+
+
+def test_exr_roundtrip(tmp_path):
+    img = np.random.default_rng(0).uniform(0, 4, (13, 17, 3)).astype(np.float32)
+    p = str(tmp_path / "t.exr")
+    I.write_exr(p, img)
+    back = I.read_exr(p)
+    np.testing.assert_array_equal(back, img)
+
+
+def test_pfm_roundtrip(tmp_path):
+    img = np.random.default_rng(1).uniform(0, 4, (9, 11, 3)).astype(np.float32)
+    p = str(tmp_path / "t.pfm")
+    I.write_pfm(p, img)
+    np.testing.assert_array_equal(I.read_pfm(p), img)
+
+
+def test_png_write(tmp_path):
+    img = np.random.default_rng(2).uniform(0, 1, (8, 8, 3)).astype(np.float32)
+    p = str(tmp_path / "t.png")
+    I.write_png(p, img)
+    assert os.path.getsize(p) > 0
+
+
+def test_obj_loader(tmp_path):
+    p = str(tmp_path / "tri.obj")
+    with open(p, "w") as f:
+        f.write("""v 0 0 0\nv 1 0 0\nv 0 1 0\nv 1 1 0
+vn 0 0 1\nvt 0 0\nvt 1 0\nvt 0 1\nvt 1 1
+f 1/1/1 2/2/1 3/3/1\nf 2/2/1 4/4/1 3/3/1\n""")
+    mesh = M.load_obj(p)[0]
+    assert mesh.positions.shape == (4, 3)
+    assert mesh.faces.shape == (2, 3)
+    assert mesh.normals is not None and mesh.uvs is not None
+    np.testing.assert_allclose(mesh.normals, [[0, 0, 1]] * 4)
+
+
+def test_ply_ascii_and_binary(tmp_path):
+    pa = str(tmp_path / "t.ply")
+    with open(pa, "w") as f:
+        f.write("""ply
+format ascii 1.0
+element vertex 3
+property float x
+property float y
+property float z
+element face 1
+property list uchar int vertex_indices
+end_header
+0 0 0
+1 0 0
+0 1 0
+3 0 1 2
+""")
+    mesh = M.load_ply(pa)
+    assert mesh.positions.shape == (3, 3) and mesh.faces.shape == (1, 3)
+
+    pb = str(tmp_path / "tb.ply")
+    verts = np.array([(0, 0, 0), (1, 0, 0), (0, 1, 0)],
+                     dtype=np.dtype([("x", "<f4"), ("y", "<f4"), ("z", "<f4")]))
+    with open(pb, "wb") as f:
+        f.write(b"ply\nformat binary_little_endian 1.0\n"
+                b"element vertex 3\nproperty float x\nproperty float y\n"
+                b"property float z\nelement face 1\n"
+                b"property list uchar int vertex_indices\nend_header\n")
+        f.write(verts.tobytes())
+        f.write(np.uint8(3).tobytes())
+        f.write(np.array([0, 1, 2], "<i4").tobytes())
+    mesh2 = M.load_ply(pb)
+    np.testing.assert_allclose(mesh2.positions, mesh.positions)
+    np.testing.assert_array_equal(mesh2.faces, mesh.faces)
+
+
+def test_serialized_roundtrip(tmp_path):
+    rng = np.random.default_rng(3)
+    mesh = M.MeshData(
+        positions=rng.uniform(-1, 1, (100, 3)),
+        faces=rng.integers(0, 100, (50, 3)),
+        normals=rng.normal(size=(100, 3)),
+        uvs=rng.uniform(0, 1, (100, 2)),
+        name="testmesh",
+    )
+    p = str(tmp_path / "t.serialized")
+    M.save_serialized(p, [mesh, mesh])
+    back = M.load_serialized(p, 1)
+    np.testing.assert_allclose(back.positions, mesh.positions)
+    np.testing.assert_array_equal(back.faces, mesh.faces)
+    np.testing.assert_allclose(back.normals, mesh.normals)
+    np.testing.assert_allclose(back.uvs, mesh.uvs)
+    assert back.name == "testmesh"
+
+
+def test_xml_cbox_loads_and_renders():
+    """End-to-end: reference-syntax Cornell box XML -> compiled scene ->
+    8x8 render with sane radiometry."""
+    from mitsuba_tpu.io.mitsuba_xml import load_scene
+    from mitsuba_tpu.render import api
+
+    here = os.path.join(os.path.dirname(__file__), "..", "scenes", "cbox.xml")
+    ls = load_scene(here, defines={"spp": 4, "res": 8})
+    assert ls.settings.width == 8 and ls.settings.spp == 4
+    assert ls.static.n_tris > 10
+    assert ls.static.n_spheres == 1
+    img = np.asarray(api.render(ls.scene, ls.static, ls.sensor, ls.integrator,
+                                ls.settings))
+    assert np.isfinite(img).all()
+    assert img.mean() > 0.05, img.mean()   # lit scene
+    assert img.max() < 50.0                # no fireworks
