@@ -41,7 +41,7 @@ def li(scene, static, cfg: IntegratorConfig, o, d, seed, pixel, sample):
         Le = scene_mod.emitted_radiance(scene, static, its, d)
         L = L + jnp.where(active[..., None], Le, 0.0)
 
-    bl = scene_mod.bsdf_locals(scene, its)
+    bl = scene_mod.bsdf_locals(scene, its, static)
     dim = DIM_BASE
 
     for i in range(nE):

@@ -51,7 +51,7 @@ def li_field(scene, static, cfg: IntegratorConfig, o, d, seed, pixel, sample):
     elif f == FIELD_UV:
         out = jnp.concatenate([its.uv, jnp.zeros_like(its.uv[..., :1])], axis=-1)
     elif f == FIELD_ALBEDO:
-        out = scene_mod.eval_albedo(scene, its)
+        out = scene_mod.eval_albedo(scene, its, static)
     elif f == FIELD_DISTANCE:
         out = jnp.where(its.valid, its.t, 0.0)[..., None] * jnp.ones((1, 3))
     elif f == FIELD_PRIM_INDEX:

@@ -100,7 +100,7 @@ def li(scene, static, cfg: IntegratorConfig, o, d, seed, pixel, sample,
         # the final vertex only collects emission (path.cpp depth check)
         extend = active & (depth < max_depth)
 
-        bl = scene_mod.bsdf_locals(scene, its)
+        bl = scene_mod.bsdf_locals(scene, its, static)
 
         # --- next event estimation (path.cpp:196-263 / scene.cpp:828)
         if static.emitter_types:

@@ -27,6 +27,7 @@ class Interaction(NamedTuple):
     mat_id: jnp.ndarray     # (R,) int32, -1 if invalid
     emitter_id: jnp.ndarray # (R,) int32, -1 if not emissive
     prim_id: jnp.ndarray    # (R,) int32 triangle id, or T + sphere id
+    nee_pdf_area: jnp.ndarray  # (R,) precomputed area pdf of NEE for this prim
 
 
 class DirectSample(NamedTuple):

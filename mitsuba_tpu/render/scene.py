@@ -33,6 +33,25 @@ from .texture import TextureTable
 # below this triangle count brute force beats BVH gathers on TPU
 BRUTE_FORCE_MAX_TRIS = 512
 
+# Pallas fast path: None = auto (TPU backend only), True/False = forced.
+# The VMEM-resident brute-force kernel is ~17x faster than the XLA
+# formulation on a v5e (ops/pallas_intersect.py).
+USE_PALLAS_INTERSECT = None
+
+
+def _pallas_ok(static) -> bool:
+    if not (0 < static.n_tris and not static.use_bvh):
+        return False
+    from ..ops import pallas_intersect as pti
+
+    if not pti.supported(static.n_tris):
+        return False
+    if USE_PALLAS_INTERSECT is not None:
+        return USE_PALLAS_INTERSECT
+    import jax
+
+    return jax.default_backend() == "tpu"
+
 
 class Scene(NamedTuple):
     """Device scene (a pytree — every leaf is a jnp array)."""
@@ -78,6 +97,7 @@ class SceneStatic:
     bsdf_types: tuple          # sorted tuple of bsdf type tags present
     emitter_types: tuple       # sorted tuple of emitter type tags present
     has_env: bool
+    has_textures: bool = True  # any material references a texture slot
 
 
 # === device queries =======================================================
@@ -95,12 +115,25 @@ def ray_intersect(scene: Scene, static: SceneStatic, o, d, t_min, t_max,
         t_max = jnp.where(active, t_max, t_min)
 
     T = static.n_tris
+    pallas_record = False
     if T > 0:
         if static.use_bvh:
-            t_hit, t_t, t_idx, t_u, t_v = bvh_closest_hit(
+            hit_t, tri_t, tri_idx, tri_u, tri_v = bvh_closest_hit(
                 scene.bvh, o, d, t_min, t_max
-            )[0:5]
-            hit_t, tri_t, tri_idx, tri_u, tri_v = t_hit, t_t, t_idx, t_u, t_v
+            )
+        elif _pallas_ok(static):
+            from ..ops.pallas_intersect import brute_force_interaction
+
+            (hit_t, tri_t, tri_idx, tri_u, tri_v, n_sh_raw, gn_tri, uv_tri,
+             mat_tri, em_tri, nee_tri) = brute_force_interaction(
+                scene.tri_p0, scene.tri_e1, scene.tri_e2,
+                scene.tri_n0, scene.tri_n1, scene.tri_n2,
+                scene.tri_uv0, scene.tri_uv1, scene.tri_uv2,
+                scene.tri_gn, scene.tri_mat, scene.tri_emitter,
+                scene.tri_nee_pdf_area, o, d, t_min, t_max,
+            )
+            n_sh_tri = m.normalize(n_sh_raw)
+            pallas_record = True
         else:
             hit_t, tri_t, tri_idx, tri_u, tri_v = isect.ray_brute_force_tris(
                 o, d, scene.tri_p0, scene.tri_e1, scene.tri_e2, t_min, t_max
@@ -111,6 +144,7 @@ def ray_intersect(scene: Scene, static: SceneStatic, o, d, t_min, t_max,
         tri_idx = jnp.full(R, -1, jnp.int32)
         tri_u = jnp.zeros(R)
         tri_v = jnp.zeros(R)
+        nee_tri = jnp.zeros(R)
 
     if static.n_spheres > 0:
         hit_s, sph_t, sph_idx = isect.ray_brute_force_spheres(
@@ -129,40 +163,49 @@ def ray_intersect(scene: Scene, static: SceneStatic, o, d, t_min, t_max,
     t_safe = jnp.where(valid, t, 1.0)
     p = o + t_safe[..., None] * d
 
-    # --- triangle shading data ---
-    ti = jnp.maximum(tri_idx, 0)
-    b1, b2 = tri_u, tri_v
-    b0 = 1.0 - b1 - b2
-    n_sh_tri = m.normalize(
-        b0[..., None] * scene.tri_n0[ti]
-        + b1[..., None] * scene.tri_n1[ti]
-        + b2[..., None] * scene.tri_n2[ti]
-    )
-    uv_tri = (
-        b0[..., None] * scene.tri_uv0[ti]
-        + b1[..., None] * scene.tri_uv1[ti]
-        + b2[..., None] * scene.tri_uv2[ti]
-    )
-    gn_tri = scene.tri_gn[ti]
-    mat_tri = scene.tri_mat[ti]
-    em_tri = scene.tri_emitter[ti]
+    # --- triangle shading data (gather path; the pallas kernel already
+    # produced these in-register) ---
+    if not pallas_record:
+        ti = jnp.maximum(tri_idx, 0)
+        b1, b2 = tri_u, tri_v
+        b0 = 1.0 - b1 - b2
+        n_sh_tri = m.normalize(
+            b0[..., None] * scene.tri_n0[ti]
+            + b1[..., None] * scene.tri_n1[ti]
+            + b2[..., None] * scene.tri_n2[ti]
+        )
+        uv_tri = (
+            b0[..., None] * scene.tri_uv0[ti]
+            + b1[..., None] * scene.tri_uv1[ti]
+            + b2[..., None] * scene.tri_uv2[ti]
+        )
+        gn_tri = scene.tri_gn[ti]
+        mat_tri = scene.tri_mat[ti]
+        em_tri = scene.tri_emitter[ti]
+        nee_tri = scene.tri_nee_pdf_area[ti]
 
-    # --- sphere shading data (sphere.cpp fillIntersectionRecord) ---
-    si = jnp.minimum(sph_idx, max(static.n_spheres - 1, 0))
-    c = scene.sph_center[si]
-    n_sph = m.normalize(p - c)
-    theta, phi = m.spherical_coordinates(n_sph)
-    uv_sph = jnp.stack([phi * (0.5 / jnp.pi), theta * (1.0 / jnp.pi)], axis=-1)
-    mat_sph = scene.sph_mat[si]
-    em_sph = scene.sph_emitter[si]
+    if static.n_spheres > 0:
+        # --- sphere shading data (sphere.cpp fillIntersectionRecord) ---
+        si = jnp.minimum(sph_idx, max(static.n_spheres - 1, 0))
+        c = scene.sph_center[si]
+        n_sph = m.normalize(p - c)
+        theta, phi = m.spherical_coordinates(n_sph)
+        uv_sph = jnp.stack([phi * (0.5 / jnp.pi), theta * (1.0 / jnp.pi)], axis=-1)
+        mat_sph = scene.sph_mat[si]
+        em_sph = scene.sph_emitter[si]
 
-    sc = sphere_closer[..., None]
-    gn = jnp.where(sc, n_sph, gn_tri)
-    n_sh = jnp.where(sc, n_sph, n_sh_tri)
-    uv = jnp.where(sc, uv_sph, uv_tri)
-    mat_id = jnp.where(sphere_closer, mat_sph, mat_tri)
-    em_id = jnp.where(sphere_closer, em_sph, em_tri)
-    prim = jnp.where(sphere_closer, T + sph_idx, tri_idx)
+        sc = sphere_closer[..., None]
+        gn = jnp.where(sc, n_sph, gn_tri)
+        n_sh = jnp.where(sc, n_sph, n_sh_tri)
+        uv = jnp.where(sc, uv_sph, uv_tri)
+        mat_id = jnp.where(sphere_closer, mat_sph, mat_tri)
+        em_id = jnp.where(sphere_closer, em_sph, em_tri)
+        prim = jnp.where(sphere_closer, T + sph_idx, tri_idx)
+        nee_pdf = jnp.where(sphere_closer | ~hit_t, 0.0, nee_tri)
+    else:
+        gn, n_sh, uv = gn_tri, n_sh_tri, uv_tri
+        mat_id, em_id, prim = mat_tri, em_tri, tri_idx
+        nee_pdf = jnp.where(hit_t, nee_tri, 0.0)
 
     # orient geometric normal to the shading normal's side convention:
     # keep gn as authored; flip shading frame handled by BSDF twosided flag.
@@ -184,6 +227,7 @@ def ray_intersect(scene: Scene, static: SceneStatic, o, d, t_min, t_max,
         mat_id=mat_id,
         emitter_id=em_id,
         prim_id=jnp.where(valid, prim, -1).astype(jnp.int32),
+        nee_pdf_area=nee_pdf,
     )
 
 
@@ -198,6 +242,13 @@ def occluded(scene: Scene, static: SceneStatic, o, d, t_min, t_max, active=None)
     if static.n_tris > 0:
         if static.use_bvh:
             occ = bvh_any_hit(scene.bvh, o, d, t_min, t_max)
+        elif _pallas_ok(static):
+            from ..ops.pallas_intersect import brute_force_closest_hit
+
+            h, _, _, _, _ = brute_force_closest_hit(
+                scene.tri_p0, scene.tri_e1, scene.tri_e2, o, d, t_min, t_max
+            )
+            occ = h
         else:
             h, _, _, _, _ = isect.ray_brute_force_tris(
                 o, d, scene.tri_p0, scene.tri_e1, scene.tri_e2, t_min, t_max
@@ -211,19 +262,23 @@ def occluded(scene: Scene, static: SceneStatic, o, d, t_min, t_max, active=None)
     return occ
 
 
-def eval_albedo(scene: Scene, its: Interaction):
+def eval_albedo(scene: Scene, its: Interaction, static: SceneStatic = None):
     """Diffuse reflectance with texture lookup (Texture::eval path)."""
     mid = jnp.maximum(its.mat_id, 0)
-    tex_id = scene.materials.albedo_tex[mid]
     base = scene.materials.albedo[mid]
+    if static is not None and not static.has_textures:
+        return base
+    tex_id = scene.materials.albedo_tex[mid]
     from .texture import eval_texture
 
     return eval_texture(scene.textures, tex_id, its.uv, base)
 
 
-def bsdf_locals(scene: Scene, its: Interaction) -> bsdf_mod.BsdfLocals:
+def bsdf_locals(scene: Scene, its: Interaction,
+                static: SceneStatic = None) -> bsdf_mod.BsdfLocals:
     return bsdf_mod.gather_locals(
-        scene.materials, its.mat_id, albedo_override=eval_albedo(scene, its)
+        scene.materials, its.mat_id,
+        albedo_override=eval_albedo(scene, its, static)
     )
 
 
@@ -239,11 +294,9 @@ def emitted_radiance(scene: Scene, static: SceneStatic, its: Interaction, d):
 
 def pdf_emitter_hit(scene: Scene, its: Interaction, ref_p):
     """Solid-angle NEE pdf of the point that a BSDF-sampled ray hit
-    (Scene::pdfEmitterDirect, scene.cpp:949) — one gather thanks to the
-    precomputed per-triangle area pdf."""
-    tri_ok = (its.prim_id >= 0) & (its.prim_id < scene.tri_p0.shape[0])
-    ti = jnp.clip(its.prim_id, 0, scene.tri_p0.shape[0] - 1)
-    pdf_area = jnp.where(tri_ok, scene.tri_nee_pdf_area[ti], 0.0)
+    (Scene::pdfEmitterDirect, scene.cpp:949) — zero gathers thanks to the
+    per-triangle area pdf carried on the interaction record."""
+    pdf_area = its.nee_pdf_area
     to_hit = its.p - ref_p
     d2 = m.squared_length(to_hit)
     dist = jnp.sqrt(jnp.maximum(d2, 1e-12))
@@ -652,6 +705,10 @@ class SceneBuilder:
             bsdf_types=tuple(sorted({mm["type"] for mm in self.mats})),
             emitter_types=tuple(sorted({e["type"] for e in self.emitters})),
             has_env=env_index >= 0,
+            has_textures=any(
+                mm["albedo_tex"] >= 0 or mm["alpha_tex"] >= 0
+                or mm["opacity_tex"] >= 0 for mm in self.mats
+            ),
         )
         return scene, static
 
