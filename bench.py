@@ -24,6 +24,8 @@ def main():
     import numpy as np
 
     from mitsuba_tpu.core.transform import Transform
+    from mitsuba_tpu.render import film as film_mod
+    from mitsuba_tpu.render import rfilter
     from mitsuba_tpu.render import sensor as sensor_mod
     from mitsuba_tpu.render import shapes
     from mitsuba_tpu.render.integrators import path as int_path
@@ -45,8 +47,10 @@ def main():
     seed = jnp.asarray(0, jnp.int32)
 
     @jax.jit
-    def one_pass(scene_, sample_base):
-        acc = jnp.zeros((H * W, 3))
+    def one_pass(scene_, film_data, sample_base):
+        """Full production pass: ray gen + path trace + gaussian film splat
+        (the complete per-spp pipeline, not just Li)."""
+        film = film_mod.Film(data=film_data)
         rays = jnp.zeros(())
         for s in range(SPP_PER_PASS):
             sample_idx = sample_base + s
@@ -59,18 +63,22 @@ def main():
             o, d = sensor_mod.sample_ray(sens, uv, u_ap)
             L, n = int_path.li(scene_, static, cfg, o, d, seed, pixel_idx,
                                sample_idx, with_stats=True)
-            acc = acc + L
+            film = film_mod.splat_grid(
+                film, pos.reshape(H, W, 2), L.reshape(H, W, 3),
+                rfilter.GAUSSIAN, 0,
+            )
             rays = rays + n
-        return acc, rays
+        return film.data, rays
 
     # warmup / compile
-    acc, rays = one_pass(scene, jnp.asarray(0, jnp.int32))
+    acc, rays = one_pass(scene, film_mod.Film.empty(H, W).data,
+                         jnp.asarray(0, jnp.int32))
     jax.block_until_ready(acc)
 
     t0 = time.perf_counter()
     total_rays = 0.0
     for i in range(N_TIMED_PASSES):
-        acc, rays = one_pass(scene, jnp.asarray((i + 1) * SPP_PER_PASS, jnp.int32))
+        acc, rays = one_pass(scene, acc, jnp.asarray((i + 1) * SPP_PER_PASS, jnp.int32))
     jax.block_until_ready(acc)
     dt = time.perf_counter() - t0
     total_rays = float(rays) * N_TIMED_PASSES  # rays/pass is constant given seeds
@@ -96,8 +104,8 @@ def main():
             "spp_timed": N_TIMED_PASSES * SPP_PER_PASS,
             "ms_per_spp": round(ms_per_spp, 3),
             "device": str(jax.devices()[0]),
-            "mean_rgb": [round(float(x), 5) for x in
-                         np.asarray(acc).mean(axis=0) / SPP_PER_PASS],
+            "mean_rgb": [round(float(x), 5) for x in np.asarray(
+                film_mod.develop(film_mod.Film(data=acc))).mean(axis=(0, 1))],
         },
     }))
 

@@ -101,6 +101,14 @@ def _mt_loop(p0_ref, e1_ref, e2_ref, rays, t_min, t_max, extra=None):
             out.append(jnp.where(hit, nee_ref[t, 0], carry[14]))
         return tuple(out)
 
+    # static unroll for small scenes: constant indices let Mosaic pipeline
+    # the scalar loads against the vector math (measurably faster than the
+    # dynamic-index fori_loop); fall back to fori for big T to bound code size
+    if T <= 128:
+        carry = init
+        for t in range(T):
+            carry = body(t, carry)
+        return carry
     return jax.lax.fori_loop(0, T, body, init)
 
 

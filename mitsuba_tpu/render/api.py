@@ -95,10 +95,20 @@ def render_pass(scene, static, sensor, cfg: icommon.IntegratorConfig,
         u_ap = rng_mod.uniform2(seed, pixel_idx, sample_idx, icommon.DIM_APERTURE)
         o, d = sensor_mod.sample_ray(sensor, uv, u_ap)
         L = li(scene, static, cfg, o, d, seed, pixel_idx, sample_idx)
-        if settings.filter_type == rfilter.BOX and pixel_idx.shape[0] == H * W:
+        R = pixel_idx.shape[0]
+        if settings.filter_type == rfilter.BOX and R == H * W:
             # full-image fast path: one jittered sample per pixel lane
             img = L.reshape(H, W, 3)
             film = film_mod.splat_aligned(film, img)
+        elif R % W == 0:
+            # raster-ordered row tile (full image or a dp shard): dense
+            # shifted-stencil splat instead of scatter-add (~20x faster)
+            rows = R // W
+            row0 = (pixel_idx[0] // W).astype(jnp.int32) if rows != H else 0
+            film = film_mod.splat_grid(
+                film, pos.reshape(rows, W, 2), L.reshape(rows, W, 3),
+                settings.filter_type, row0,
+            )
         else:
             film = film_mod.splat(film, pos, L, settings.filter_type)
     return film
