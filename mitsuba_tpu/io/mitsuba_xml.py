@@ -444,16 +444,99 @@ class XMLSceneLoader:
             return self.builder.add_material(type=B.NULL)
         raise ValueError(f"unsupported bsdf type '{t}'")
 
-    def _shape_material(self, node) -> int:
+    def _load_medium(self, node) -> int:
+        """<medium type="homogeneous|heterogeneous"> (medium plugin parity)."""
+        t = node.get("type")
+        p = _props(node, self.params)
+        ph_type, ph_g = 0, 0.0
+        ph = node.find("phase")
+        if ph is not None:
+            from ..render import phase as PH
+
+            pt = ph.get("type")
+            pp = _props(ph, self.params)
+            ph_type = {"isotropic": PH.ISOTROPIC, "hg": PH.HG,
+                       "rayleigh": PH.RAYLEIGH}.get(pt, PH.ISOTROPIC)
+            ph_g = float(pp.get("g", 0.0))
+        scale = float(p.get("scale", 1.0))
+        if t == "homogeneous":
+            if "sigmaT" in p or "albedo" in p:
+                st = np.asarray(p.get("sigmaT", (1.0,) * 3))
+                al = np.asarray(p.get("albedo", (0.5,) * 3))
+                ss = st * al
+                sa = st - ss
+            else:
+                ss = np.asarray(p.get("sigmaS", (1.0,) * 3))
+                sa = np.asarray(p.get("sigmaA", (0.5,) * 3))
+            return self.builder.add_medium_homogeneous(
+                sigma_s=tuple(ss), sigma_a=tuple(sa),
+                phase_type=ph_type, phase_g=ph_g, scale=scale,
+            )
+        if t == "heterogeneous":
+            # gridvolume .vol densities
+            vol = None
+            for c in node.findall("volume"):
+                if c.get("name") in ("density", None):
+                    vp = _props(c, self.params)
+                    if c.get("type") == "gridvolume":
+                        from .volgrid import load_vol
+
+                        vol, w2g = load_vol(self.resolve_path(vp["filename"]))
+                    elif c.get("type") == "constvolume":
+                        vol = np.full((2, 2, 2), float(np.mean(vp.get("value", 1.0))),
+                                      np.float32)
+                        w2g = np.eye(4)
+            if vol is None:
+                vol = np.ones((2, 2, 2), np.float32)
+                w2g = np.eye(4)
+            st = np.asarray(p.get("sigmaT", (1.0,) * 3))
+            al = np.asarray(p.get("albedo", (0.8,) * 3))
+            return self.builder.add_medium_heterogeneous(
+                vol, sigma_t=tuple(st), albedo=tuple(al),
+                phase_type=ph_type, phase_g=ph_g, scale=scale, world_to_grid=w2g,
+            )
+        raise ValueError(f"unsupported medium type '{t}'")
+
+    def _shape_interior_medium(self, node) -> int:
+        for c in node.findall("medium"):
+            if c.get("name") in ("interior", None):
+                mid = self._load_medium(c)
+                if c.get("id"):
+                    self.ids[c.get("id")] = ("medium", mid)
+                return mid
+        for c in node.findall("ref"):
+            if c.get("name") == "interior":
+                kind, idx = self.ids[c.get("id")]
+                if kind == "medium":
+                    return idx
+        return -1
+
+    def _shape_material(self, node, interior_medium: int = -1) -> int:
+        mat_id = None
         for c in node.findall("ref"):
             if c.get("name") in (None, "bsdf"):
                 kind, idx = self.ids[c.get("id")]
                 if kind == "bsdf":
-                    return idx
-        inner = node.find("bsdf")
-        if inner is not None:
-            return self._load_bsdf(inner)
-        return self.builder.add_material()  # gray diffuse default
+                    mat_id = idx
+        if mat_id is None:
+            inner = node.find("bsdf")
+            if inner is not None:
+                mat_id = self._load_bsdf(inner)
+        if interior_medium >= 0:
+            from ..render import bsdf as B
+
+            if mat_id is None:
+                # a shape with only a medium is a transparent boundary
+                return self.builder.add_material(
+                    type=B.NULL, interior_medium=interior_medium)
+            # shared materials can't carry per-shape media: clone with medium
+            rec = dict(self.builder.mats[mat_id])
+            rec["interior_medium"] = interior_medium
+            self.builder.mats.append(rec)
+            return len(self.builder.mats) - 1
+        if mat_id is None:
+            return self.builder.add_material()  # gray diffuse default
+        return mat_id
 
     def _shape_emitter(self, node):
         em = node.find("emitter")
@@ -466,7 +549,8 @@ class XMLSceneLoader:
         t = node.get("type")
         p = _props(node, self.params)
         to_world = p.get("toWorld", Transform.identity())
-        mat = self._shape_material(node)
+        medium = self._shape_interior_medium(node)
+        mat = self._shape_material(node, medium)
         emitter = self._shape_emitter(node)
 
         if t in ("obj", "ply", "serialized"):

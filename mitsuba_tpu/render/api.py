@@ -23,6 +23,7 @@ from .integrators import common as icommon
 from .integrators import direct as int_direct
 from .integrators import misc as int_misc
 from .integrators import path as int_path
+from .integrators import volpath as int_volpath
 
 # sampler types (parity: src/samplers — independent.cpp, stratified.cpp;
 # ldsampler/sobol/halton arrive with mitsuba_tpu.core.qmc)
@@ -44,6 +45,8 @@ class RenderSettings:
 
 
 def _li_fn(cfg: icommon.IntegratorConfig):
+    if cfg.type == icommon.VOLPATH:
+        return int_volpath.li
     if cfg.type == icommon.PATH:
         return int_path.li
     if cfg.type == icommon.DIRECT:

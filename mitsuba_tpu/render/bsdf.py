@@ -70,6 +70,7 @@ class MaterialTable(NamedTuple):
     nonlinear: jnp.ndarray   # (M,) bool (plastic internal-scattering mode)
     twosided: jnp.ndarray    # (M,) bool: flip frame on backface (twosided.cpp)
     opacity_tex: jnp.ndarray # (M,) int32 opacity texture (mask.cpp) or -1
+    interior_medium: jnp.ndarray  # (M,) int32 medium id inside the surface (-1 none)
 
     @property
     def count(self):

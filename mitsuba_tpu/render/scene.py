@@ -29,6 +29,7 @@ from . import bsdf as bsdf_mod
 from . import emitter as em_mod
 from .records import Interaction
 from .texture import TextureTable
+from .medium import MediumTable
 
 # below this triangle count brute force beats BVH gathers on TPU
 BRUTE_FORCE_MAX_TRIS = 512
@@ -81,6 +82,7 @@ class Scene(NamedTuple):
     materials: bsdf_mod.MaterialTable
     textures: TextureTable
     emitters: em_mod.EmitterTable
+    media: MediumTable
     # bounds
     aabb_lo: jnp.ndarray      # (3,)
     aabb_hi: jnp.ndarray      # (3,)
@@ -98,6 +100,8 @@ class SceneStatic:
     emitter_types: tuple       # sorted tuple of emitter type tags present
     has_env: bool
     has_textures: bool = True  # any material references a texture slot
+    medium_types: tuple = ()   # medium type tags present (empty = no media)
+    phase_types: tuple = ()    # phase function tags present
 
 
 # === device queries =======================================================
@@ -330,6 +334,8 @@ class SceneBuilder:
     emitters: list = field(default_factory=list)
     textures: list = field(default_factory=list)
     bitmaps: list = field(default_factory=list)
+    media: list = field(default_factory=list)
+    vol_grids: list = field(default_factory=list)
 
     # --- materials ---
     def add_material(
@@ -347,6 +353,7 @@ class SceneBuilder:
         nonlinear: bool = False,
         twosided: bool = False,
         opacity_tex: int = -1,
+        interior_medium: int = -1,
     ) -> int:
         if np.isscalar(eta):
             eta = (float(eta),) * 3
@@ -359,9 +366,82 @@ class SceneBuilder:
                 eta=tuple(eta), k=tuple(k), alpha=tuple(alpha),
                 alpha_tex=alpha_tex, dist=dist, nonlinear=nonlinear,
                 twosided=twosided, opacity_tex=opacity_tex,
+                interior_medium=interior_medium,
             )
         )
         return len(self.mats) - 1
+
+    # --- media (src/medium, src/volume parity) ---
+    def add_medium_homogeneous(self, sigma_s=(1.0,) * 3, sigma_a=(0.1,) * 3,
+                               phase_type: int = 0, phase_g: float = 0.0,
+                               scale: float = 1.0) -> int:
+        import numpy as _np
+        sigma_s = _np.asarray(sigma_s, float)
+        sigma_a = _np.asarray(sigma_a, float)
+        sigma_t = sigma_s + sigma_a
+        albedo = _np.divide(sigma_s, _np.maximum(sigma_t, 1e-20))
+        from .medium import HOMOGENEOUS
+        self.media.append(dict(
+            type=HOMOGENEOUS, sigma_t=tuple(sigma_t), albedo=tuple(albedo),
+            phase_type=phase_type, phase_g=phase_g, scale=scale, grid=-1,
+            world_to_grid=_np.eye(4),
+        ))
+        return len(self.media) - 1
+
+    def add_medium_heterogeneous(self, density_grid, sigma_t=(1.0,) * 3,
+                                 albedo=(0.8,) * 3, phase_type: int = 0,
+                                 phase_g: float = 0.0, scale: float = 1.0,
+                                 world_to_grid=None) -> int:
+        import numpy as _np
+        from .medium import HETEROGENEOUS
+        g = _np.asarray(density_grid, _np.float32)
+        self.vol_grids.append(g)
+        self.media.append(dict(
+            type=HETEROGENEOUS, sigma_t=tuple(_np.asarray(sigma_t, float)),
+            albedo=tuple(_np.asarray(albedo, float)), phase_type=phase_type,
+            phase_g=phase_g, scale=scale, grid=len(self.vol_grids) - 1,
+            world_to_grid=(_np.eye(4) if world_to_grid is None
+                           else _np.asarray(world_to_grid, float)),
+        ))
+        return len(self.media) - 1
+
+    def _build_media(self) -> MediumTable:
+        import numpy as _np
+        if not self.media:
+            return MediumTable.empty()
+        K = len(self.media)
+        if self.vol_grids:
+            Dm = max(g.shape[0] for g in self.vol_grids)
+            Hm = max(g.shape[1] for g in self.vol_grids)
+            Wm = max(g.shape[2] for g in self.vol_grids)
+            stack = _np.zeros((len(self.vol_grids), Dm, Hm, Wm), _np.float32)
+            sizes = _np.zeros((len(self.vol_grids), 3), _np.int32)
+            for i, g in enumerate(self.vol_grids):
+                stack[i, :g.shape[0], :g.shape[1], :g.shape[2]] = g
+                sizes[i] = g.shape
+        else:
+            stack = _np.zeros((1, 1, 1, 1), _np.float32)
+            sizes = _np.ones((1, 3), _np.int32)
+        maj = []
+        for mm in self.media:
+            smax = max(mm["sigma_t"]) * mm["scale"]
+            if mm["grid"] >= 0:
+                smax = float(_np.mean(mm["sigma_t"])) * mm["scale"] *                     float(self.vol_grids[mm["grid"]].max())
+            maj.append(max(smax, 1e-9))
+        return MediumTable(
+            type=jnp.asarray([mm["type"] for mm in self.media], jnp.int32),
+            sigma_t=jnp.asarray([mm["sigma_t"] for mm in self.media], jnp.float32),
+            albedo=jnp.asarray([mm["albedo"] for mm in self.media], jnp.float32),
+            phase_type=jnp.asarray([mm["phase_type"] for mm in self.media], jnp.int32),
+            phase_g=jnp.asarray([mm["phase_g"] for mm in self.media], jnp.float32),
+            scale=jnp.asarray([mm["scale"] for mm in self.media], jnp.float32),
+            grid_idx=jnp.asarray([mm["grid"] for mm in self.media], jnp.int32),
+            grids=jnp.asarray(stack),
+            grid_size=jnp.asarray(sizes),
+            world_to_grid=jnp.asarray(
+                _np.stack([mm["world_to_grid"] for mm in self.media]), jnp.float32),
+            majorant=jnp.asarray(maj, jnp.float32),
+        )
 
     # --- textures ---
     def add_texture_constant(self, value) -> int:
@@ -628,6 +708,8 @@ class SceneBuilder:
             nonlinear=jnp.asarray([mm["nonlinear"] for mm in self.mats], bool),
             twosided=jnp.asarray([mm["twosided"] for mm in self.mats], bool),
             opacity_tex=jnp.asarray([mm["opacity_tex"] for mm in self.mats], jnp.int32),
+            interior_medium=jnp.asarray(
+                [mm.get("interior_medium", -1) for mm in self.mats], jnp.int32),
         )
 
         textures = self._build_textures()
@@ -694,6 +776,7 @@ class SceneBuilder:
             materials=materials,
             textures=textures,
             emitters=emitters,
+            media=self._build_media(),
             aabb_lo=jnp.asarray(scene_lo, jnp.float32),
             aabb_hi=jnp.asarray(scene_hi, jnp.float32),
             radius=jnp.asarray(radius, jnp.float32),
@@ -709,6 +792,8 @@ class SceneBuilder:
                 mm["albedo_tex"] >= 0 or mm["alpha_tex"] >= 0
                 or mm["opacity_tex"] >= 0 for mm in self.mats
             ),
+            medium_types=tuple(sorted({mm["type"] for mm in self.media})),
+            phase_types=tuple(sorted({mm["phase_type"] for mm in self.media})),
         )
         return scene, static
 

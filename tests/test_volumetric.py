@@ -1,0 +1,132 @@
+"""Volumetric transport tests (reference: medium/phase plugin behavior +
+the radiometric cross-validation style of data/tests/test_phase.xml)."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mitsuba_tpu.core import rng
+from mitsuba_tpu.core.transform import Transform
+from mitsuba_tpu.render import api
+from mitsuba_tpu.render import bsdf as B
+from mitsuba_tpu.render import phase as PH
+from mitsuba_tpu.render import sensor as S
+from mitsuba_tpu.render import shapes
+from mitsuba_tpu.render.integrators.common import IntegratorConfig, PATH, VOLPATH
+from mitsuba_tpu.render.scene import SceneBuilder
+from mitsuba_tpu.utils.chi2 import chi2_test
+
+
+def _render(scene, static, sens, cfg, wh=8, spp=64, **kw):
+    st = api.RenderSettings(width=wh, height=wh, spp=spp,
+                            spp_per_pass=min(16, spp), filter_type=0)
+    return np.asarray(api.render(scene, static, sens, cfg, st))
+
+
+@pytest.mark.parametrize("ptype,g", [(PH.ISOTROPIC, 0.0), (PH.HG, 0.5),
+                                     (PH.HG, -0.7), (PH.RAYLEIGH, 0.0)],
+                         ids=["iso", "hg_fwd", "hg_bwd", "rayleigh"])
+def test_phase_chi2(ptype, g):
+    wi = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (1, 3))
+
+    def sample_fn(n):
+        w = jnp.broadcast_to(wi, (n, 3))
+        u = rng.uniform2(ptype * 10 + 1, jnp.arange(n, dtype=jnp.int32), 0, 0)
+        wo, _ = PH.sample(jnp.full(n, ptype), jnp.full(n, g), w, u,
+                          active_types=(ptype,))
+        return np.asarray(wo)
+
+    def pdf_fn(d):
+        n = d.shape[0]
+        w = jnp.broadcast_to(wi, (n, 3))
+        return PH.eval_pdf(jnp.full(n, ptype), jnp.full(n, g), w, d,
+                           active_types=(ptype,))
+
+    ok, pval, stat, dof, info = chi2_test(sample_fn, pdf_fn, n_samples=400_000)
+    assert ok, info
+
+
+def test_volpath_equals_path_without_media(cornell, cornell_cam):
+    scene, static = cornell
+    sens = S.make_perspective(cornell_cam, 39.0, 16, 16)
+    st = api.RenderSettings(width=16, height=16, spp=128, spp_per_pass=16,
+                            filter_type=0)
+    img_p = np.asarray(api.render(scene, static, sens,
+                                  IntegratorConfig(type=PATH, max_depth=3), st))
+    img_v = np.asarray(api.render(scene, static, sens,
+                                  IntegratorConfig(type=VOLPATH, max_depth=3), st))
+    # different RNG dimension layouts -> statistical (not bitwise) agreement
+    np.testing.assert_allclose(img_v.mean(axis=(0, 1)), img_p.mean(axis=(0, 1)),
+                               rtol=0.02)
+
+
+def _absorber_scene(sigma_a, radius=0.5):
+    b = SceneBuilder()
+    med = b.add_medium_homogeneous(sigma_s=(0.0,) * 3, sigma_a=(sigma_a,) * 3)
+    mat = b.add_material(type=B.NULL, interior_medium=med)
+    b.add_sphere((0, 0, 2.0), radius, mat)
+    b.add_constant_emitter((1.0, 1.0, 1.0))
+    return b.build()
+
+
+def test_beer_lambert_absorption():
+    """Ray through an absorbing sphere: L = exp(-sigma_a * chord) * env
+    (homogeneous.cpp closed-form transmittance via the null boundary)."""
+    sigma, r = 1.3, 0.5
+    scene, static = _absorber_scene(sigma, r)
+    cam = Transform.look_at([0, 0, 0], [0, 0, 1], [0, 1, 0])
+    sens = S.make_perspective(cam, 2.0, 4, 4)  # narrow fov through the center
+    img = _render(scene, static, sens,
+                  IntegratorConfig(type=VOLPATH, max_depth=8, rr_depth=64),
+                  wh=4, spp=512)
+    expected = np.exp(-sigma * 2 * r)
+    np.testing.assert_allclose(img.mean(), expected, rtol=0.03)
+
+
+def test_scattering_furnace():
+    """Conservative-scattering medium under a uniform environment must leave
+    radiance unchanged (the volumetric white furnace)."""
+    b = SceneBuilder()
+    med = b.add_medium_homogeneous(sigma_s=(1.0,) * 3, sigma_a=(0.0,) * 3)
+    mat = b.add_material(type=B.NULL, interior_medium=med)
+    b.add_sphere((0, 0, 2.0), 0.5, mat)
+    b.add_constant_emitter((1.0, 1.0, 1.0))
+    scene, static = b.build()
+    cam = Transform.look_at([0, 0, 0], [0, 0, 1], [0, 1, 0])
+    sens = S.make_perspective(cam, 2.0, 4, 4)
+    img = _render(scene, static, sens,
+                  IntegratorConfig(type=VOLPATH, max_depth=32, rr_depth=64),
+                  wh=4, spp=512)
+    np.testing.assert_allclose(img.mean(), 1.0, rtol=0.03)
+
+
+def test_heterogeneous_matches_homogeneous_constant_grid():
+    """A heterogeneous medium with a constant density grid must agree with
+    the equivalent homogeneous medium (delta-tracking correctness)."""
+    sigma = 0.9
+
+    def build(hetero):
+        b = SceneBuilder()
+        if hetero:
+            grid = np.ones((4, 4, 4), np.float32)
+            # world-to-grid: sphere bbox [(-0.5,-0.5,1.5), (0.5,0.5,2.5)] -> [0,1]^3
+            w2g = np.eye(4)
+            w2g[:3, :3] *= 1.0
+            w2g[:3, 3] = [0.5, 0.5, -1.5]
+            med = b.add_medium_heterogeneous(
+                grid, sigma_t=(sigma,) * 3, albedo=(0.0,) * 3, world_to_grid=w2g
+            )
+        else:
+            med = b.add_medium_homogeneous(sigma_s=(0,) * 3, sigma_a=(sigma,) * 3)
+        mat = b.add_material(type=B.NULL, interior_medium=med)
+        b.add_sphere((0, 0, 2.0), 0.5, mat)
+        b.add_constant_emitter((1.0, 1.0, 1.0))
+        return b.build()
+
+    cam = Transform.look_at([0, 0, 0], [0, 0, 1], [0, 1, 0])
+    sens = S.make_perspective(cam, 2.0, 4, 4)
+    cfg = IntegratorConfig(type=VOLPATH, max_depth=8, rr_depth=64)
+    scene_h, static_h = build(False)
+    scene_g, static_g = build(True)
+    img_h = _render(scene_h, static_h, sens, cfg, wh=4, spp=512)
+    img_g = _render(scene_g, static_g, sens, cfg, wh=4, spp=1024)
+    np.testing.assert_allclose(img_g.mean(), img_h.mean(), rtol=0.05)
