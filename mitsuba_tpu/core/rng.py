@@ -45,6 +45,56 @@ def _to_unit_float(bits):
     return (bits >> jnp.uint32(8)).astype(jnp.float32) * jnp.float32(5.9604645e-8)
 
 
+# --- pluggable sampler strategy (src/samplers parity) ----------------------
+# The draw functions below dispatch on this module-level mode, fixed at
+# trace time (api.render closes over it per render call). INDEPENDENT uses
+# pure PCG; LD replaces every 2D pair with a per-(pixel, dim) XOR-scrambled
+# (0,2)-sequence indexed by the sample counter (ldsampler/sobol.cpp role);
+# HALTON uses rotated prime-base radical inverses.
+INDEPENDENT = 0
+STRATIFIED = 1   # handled at the pixel-position level in render.api
+LD = 2
+HALTON = 3
+
+_SAMPLER_TYPE = INDEPENDENT
+
+
+def set_sampler(t: int) -> None:
+    global _SAMPLER_TYPE
+    _SAMPLER_TYPE = LD if t == STRATIFIED else t
+
+
+def get_sampler() -> int:
+    return _SAMPLER_TYPE
+
+
+def _qmc2(seed, pixel, sample, dim):
+    """One scrambled low-discrepancy 2D point per (pixel, dim) stream."""
+    from . import qmc
+
+    seed_b, pixel_b, sample_b, dim_b = jnp.broadcast_arrays(
+        jnp.asarray(seed), jnp.asarray(pixel), jnp.asarray(sample), jnp.asarray(dim)
+    )
+    scr = pcg4d(
+        jnp.stack(
+            [
+                seed_b.astype(jnp.uint32),
+                pixel_b.astype(jnp.uint32),
+                dim_b.astype(jnp.uint32),
+                jnp.full_like(pixel_b, 0x9E3779B9).astype(jnp.uint32),
+            ],
+            axis=-1,
+        )
+    )
+    if _SAMPLER_TYPE == HALTON:
+        rot_x = scr[..., 0].astype(jnp.float32) * jnp.float32(2.3283064365386963e-10)
+        rot_y = scr[..., 1].astype(jnp.float32) * jnp.float32(2.3283064365386963e-10)
+        u0 = qmc.radical_inverse((2 * dim_b) % 30, sample_b, rot_x)
+        u1 = qmc.radical_inverse((2 * dim_b + 1) % 30, sample_b, rot_y)
+        return jnp.stack([u0, u1], axis=-1)
+    return qmc.sobol02(sample_b, scr[..., 0], scr[..., 1])
+
+
 def uniform4(seed, pixel, sample, dim):
     """Four independent U[0,1) floats keyed by (seed, pixel, sample, dim).
 
@@ -63,14 +113,26 @@ def uniform4(seed, pixel, sample, dim):
         ],
         axis=-1,
     )
-    return _to_unit_float(pcg4d(ctr))
+    u = _to_unit_float(pcg4d(ctr))
+    if _SAMPLER_TYPE in (LD, HALTON):
+        # the callers' convention is (selector, 2D pair, spare): put the
+        # low-discrepancy pair in components 1-2 so lobe/emitter selection
+        # stays decorrelated PCG while direction/position sampling gets the
+        # (0,2)-sequence stratification
+        q = _qmc2(seed, pixel, sample, dim)
+        u = jnp.concatenate([u[..., :1], q, u[..., 3:]], axis=-1)
+    return u
 
 
 def uniform1(seed, pixel, sample, dim):
+    if _SAMPLER_TYPE in (LD, HALTON):
+        return _qmc2(seed, pixel, sample, dim)[..., 0]
     return uniform4(seed, pixel, sample, dim)[..., 0]
 
 
 def uniform2(seed, pixel, sample, dim):
+    if _SAMPLER_TYPE in (LD, HALTON):
+        return _qmc2(seed, pixel, sample, dim)
     return uniform4(seed, pixel, sample, dim)[..., :2]
 
 

@@ -31,6 +31,7 @@ INDEPENDENT = 0
 STRATIFIED = 1
 LDSAMPLER = 2
 SOBOL = 3
+HALTON = 4
 
 
 @dataclass(frozen=True)
@@ -90,6 +91,12 @@ def render_pass(scene, static, sensor, cfg: icommon.IntegratorConfig,
         pixel_idx = jnp.arange(H * W, dtype=jnp.int32)
     seed = jnp.asarray(settings.seed, jnp.int32)
     li = _li_fn(cfg)
+    # fix the RNG strategy for everything traced below (samplers parity):
+    # ldsampler/sobol -> scrambled (0,2)-sequences, halton -> radical inverse
+    rng_mod.set_sampler(
+        {LDSAMPLER: rng_mod.LD, SOBOL: rng_mod.LD, HALTON: rng_mod.HALTON}
+        .get(settings.sampler_type, rng_mod.INDEPENDENT)
+    )
 
     for s in range(n_samples):
         sample_idx = sample_base + s

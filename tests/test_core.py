@@ -131,3 +131,90 @@ def test_spectrum_conversions():
     np.testing.assert_allclose(float(spec.luminance(rgb)[1]), 1.0, atol=1e-4)
     g = spec.srgb_degamma(spec.srgb_gamma(rgb))
     np.testing.assert_allclose(np.asarray(g), np.asarray(rgb), atol=1e-5)
+
+
+def test_sobol02_elementary_intervals():
+    """(0,2)-sequence property: the first 2^m points put exactly one point
+    in every elementary interval (here: a 16x16 grid for 256 points)."""
+    from mitsuba_tpu.core.qmc import sobol02
+
+    pts = np.asarray(sobol02(jnp.arange(256, dtype=jnp.uint32), 0, 0))
+    cells = (pts * 16).astype(int)
+    flat = cells[:, 0] * 16 + cells[:, 1]
+    assert len(np.unique(flat)) == 256
+    # scrambling preserves the property
+    pts_s = np.asarray(sobol02(jnp.arange(256, dtype=jnp.uint32),
+                               0xDEADBEEF, 0x12345678))
+    cells = (pts_s * 16).astype(int)
+    flat = cells[:, 0] * 16 + cells[:, 1]
+    assert len(np.unique(flat)) == 256
+
+
+def test_radical_inverse():
+    from mitsuba_tpu.core.qmc import radical_inverse
+
+    # base 2: van der Corput 0, 1/2, 1/4, 3/4, 1/8 ...
+    u = np.asarray(radical_inverse(0, jnp.arange(8, dtype=jnp.uint32)))
+    np.testing.assert_allclose(
+        u, [0, 0.5, 0.25, 0.75, 0.125, 0.625, 0.375, 0.875], atol=1e-6)
+    # base 3
+    u3 = np.asarray(radical_inverse(1, jnp.arange(6, dtype=jnp.uint32)))
+    np.testing.assert_allclose(u3, [0, 1/3, 2/3, 1/9, 4/9, 7/9], atol=1e-6)
+
+
+def test_ld_sampler_lowers_variance():
+    """An LD-sampled render of the Cornell box must have lower pixel variance
+    against a converged reference than the independent sampler at equal spp
+    (the ldsampler.cpp raison d'etre)."""
+    from mitsuba_tpu.core.transform import Transform
+    from mitsuba_tpu.render import api, sensor as S, shapes
+    from mitsuba_tpu.render.integrators.common import IntegratorConfig, PATH
+    from mitsuba_tpu.render.scene import SceneBuilder
+
+    from mitsuba_tpu.render.integrators.common import AO
+
+    b = SceneBuilder()
+    shapes.cornell_box(b)
+    scene, static = b.build()
+    cam = Transform.look_at([0.5, 0.5, -1.39], [0.5, 0.5, 0.5], [0, 1, 0])
+    sens = S.make_perspective(cam, 39.0, 16, 16)
+    # AO: a single cosine-hemisphere draw dominates -> stratification shines
+    cfg = IntegratorConfig(type=AO, ray_length=0.3)
+
+    def render(sampler, spp, seed=0):
+        st = api.RenderSettings(width=16, height=16, spp=spp, spp_per_pass=16,
+                                filter_type=0, sampler_type=sampler, seed=seed)
+        return np.asarray(api.render(scene, static, sens, cfg, st))
+
+    ref = render(api.INDEPENDENT, 512, seed=7)
+    err_ind = np.mean([np.mean((render(api.INDEPENDENT, 16, seed=k) - ref) ** 2)
+                       for k in range(3)])
+    err_ld = np.mean([np.mean((render(api.LDSAMPLER, 16, seed=k) - ref) ** 2)
+                      for k in range(3)])
+    # image-level gains are modest (pixel-footprint variance dominates at
+    # this resolution) but must be consistently positive
+    assert err_ld < err_ind * 0.95, (err_ld, err_ind)
+
+
+def test_ld_integration_mse():
+    """The core QMC guarantee: integrating a smooth 2D function with 64
+    scrambled (0,2) points beats 64 PCG points by a large factor."""
+    n_streams, n_samples = 512, 64
+    pix = jnp.arange(n_streams, dtype=jnp.int32)[:, None]
+    samp = jnp.arange(n_samples, dtype=jnp.int32)[None, :]
+
+    def f(u):
+        return u[..., 0] ** 2 + np.pi / 4 * jnp.sin(np.pi * u[..., 1])
+
+    exact = 1 / 3 + 0.5
+
+    def mse(mode):
+        rng.set_sampler(mode)
+        try:
+            u = rng.uniform2(3, pix, samp, 5)
+        finally:
+            rng.set_sampler(rng.INDEPENDENT)
+        est = np.asarray(jnp.mean(f(u), axis=1))
+        return np.mean((est - exact) ** 2)
+
+    assert mse(rng.LD) < mse(rng.INDEPENDENT) / 20.0
