@@ -39,8 +39,26 @@ class BVH(NamedTuple):
     prim_order: np.ndarray  # (T,)  int32 permutation of input primitives
 
 
-def build_bvh(prim_lo: np.ndarray, prim_hi: np.ndarray, leaf_size: int = LEAF_SIZE) -> BVH:
-    """Build from per-primitive AABBs (T, 3)/(T, 3)."""
+def build_bvh(prim_lo: np.ndarray, prim_hi: np.ndarray,
+              leaf_size: int = LEAF_SIZE, use_native: bool = True) -> BVH:
+    """Build from per-primitive AABBs (T, 3)/(T, 3).
+
+    Dispatches to the C++ builder (mitsuba_tpu/native/bvh.cpp — the native
+    performance tier, like the reference's gkdtree.h) when available and the
+    mesh is large enough to matter; identical output layout either way.
+    """
+    if use_native and prim_lo.shape[0] >= 4096:
+        from ..native import build_bvh_native
+
+        bvh = build_bvh_native(np.asarray(prim_lo), np.asarray(prim_hi), leaf_size)
+        if bvh is not None:
+            return bvh
+    return _build_bvh_numpy(prim_lo, prim_hi, leaf_size)
+
+
+def _build_bvh_numpy(prim_lo: np.ndarray, prim_hi: np.ndarray,
+                     leaf_size: int = LEAF_SIZE) -> BVH:
+    """Pure-numpy reference implementation (also the fallback)."""
     T = prim_lo.shape[0]
     assert T > 0
     prim_lo = prim_lo.astype(np.float64)

@@ -54,6 +54,16 @@ def _pallas_ok(static) -> bool:
     return jax.default_backend() == "tpu"
 
 
+def _pallas_bvh_ok(static) -> bool:
+    if not static.use_bvh:
+        return False
+    if USE_PALLAS_INTERSECT is not None:
+        return USE_PALLAS_INTERSECT
+    import jax
+
+    return jax.default_backend() == "tpu"
+
+
 class Scene(NamedTuple):
     """Device scene (a pytree — every leaf is a jnp array)."""
 
@@ -78,6 +88,7 @@ class Scene(NamedTuple):
     sph_emitter: jnp.ndarray  # (S,)
     # acceleration
     bvh: DeviceBVH
+    bvh_rows: jnp.ndarray     # (N, 64) packed fat-node rows (pallas traversal)
     # tables
     materials: bsdf_mod.MaterialTable
     textures: TextureTable
@@ -122,9 +133,17 @@ def ray_intersect(scene: Scene, static: SceneStatic, o, d, t_min, t_max,
     pallas_record = False
     if T > 0:
         if static.use_bvh:
-            hit_t, tri_t, tri_idx, tri_u, tri_v = bvh_closest_hit(
-                scene.bvh, o, d, t_min, t_max
-            )
+            if _pallas_bvh_ok(static):
+                from ..ops.pallas_bvh import bvh_traverse
+
+                hit_t, tri_t, tri_idx, tri_u, tri_v = bvh_traverse(
+                    scene.bvh_rows, o, d, t_min, t_max,
+                    scene.aabb_lo, scene.aabb_hi,
+                )
+            else:
+                hit_t, tri_t, tri_idx, tri_u, tri_v = bvh_closest_hit(
+                    scene.bvh, o, d, t_min, t_max
+                )
         elif _pallas_ok(static):
             from ..ops.pallas_intersect import brute_force_interaction
 
@@ -245,7 +264,16 @@ def occluded(scene: Scene, static: SceneStatic, o, d, t_min, t_max, active=None)
     occ = jnp.zeros(R, bool)
     if static.n_tris > 0:
         if static.use_bvh:
-            occ = bvh_any_hit(scene.bvh, o, d, t_min, t_max)
+            if _pallas_bvh_ok(static):
+                from ..ops.pallas_bvh import bvh_traverse
+
+                h, _, _, _, _ = bvh_traverse(
+                    scene.bvh_rows, o, d, t_min, t_max,
+                    scene.aabb_lo, scene.aabb_hi,
+                )
+                occ = h
+            else:
+                occ = bvh_any_hit(scene.bvh, o, d, t_min, t_max)
         elif _pallas_ok(static):
             from ..ops.pallas_intersect import brute_force_closest_hit
 
@@ -729,10 +757,17 @@ class SceneBuilder:
 
         # BVH (only if worthwhile)
         use_bvh = T > BRUTE_FORCE_MAX_TRIS
+        bvh_rows = np.zeros((1, 64), np.float32)
         if T > 0:
             lo, hi = triangle_aabbs(tp0, tp0 + te1, tp0 + te2)
             if use_bvh:
                 host_bvh = build_bvh(lo, hi)
+                from ..ops.pallas_bvh import pack_nodes
+
+                bvh_rows = pack_nodes(
+                    host_bvh, tp0.astype(np.float32), te1.astype(np.float32),
+                    te2.astype(np.float32),
+                )
             else:
                 host_bvh = build_bvh(lo, hi, leaf_size=max(T, 1))
             bvh = DeviceBVH.from_host(
@@ -773,6 +808,7 @@ class SceneBuilder:
             sph_mat=jnp.asarray(sm),
             sph_emitter=jnp.asarray(se),
             bvh=bvh,
+            bvh_rows=jnp.asarray(bvh_rows),
             materials=materials,
             textures=textures,
             emitters=emitters,
