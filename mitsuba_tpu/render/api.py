@@ -124,12 +124,69 @@ def render_pass(scene, static, sensor, cfg: icommon.IntegratorConfig,
     return film
 
 
+def render_light_traced(scene, static, sensor, cfg: icommon.IntegratorConfig,
+                        settings: RenderSettings):
+    """Adjoint render (ptracer): spp * n_pixels particles, traced in
+    pixel-count-sized megabatch passes."""
+    from .integrators import ptracer as int_pt
+
+    H, W = settings.height, settings.width
+    P = H * W  # particles per pass
+    seed = jnp.asarray(settings.seed, jnp.int32)
+    rng_mod.set_sampler(rng_mod.INDEPENDENT)
+
+    @jax.jit
+    def one_pass(scene_, film_data, pass_idx):
+        pid = jnp.arange(P, dtype=jnp.int32)
+        return int_pt.trace_pass(scene_, static, cfg, sensor, film_data,
+                                 seed, pid, pass_idx)
+
+    film_data = jnp.zeros((H, W, 4))
+    for s in range(settings.spp):
+        film_data = one_pass(scene, film_data, jnp.asarray(s, jnp.int32))
+    return int_pt.develop_light_image(film_data, settings.spp * P)
+
+
+def render_vpl(scene, static, sensor, cfg: icommon.IntegratorConfig,
+               settings: RenderSettings):
+    """Instant-radiosity render: one VPL set, shaded per camera sample."""
+    from . import film as film_mod_
+    from .integrators import vpl as int_vpl
+
+    H, W = settings.height, settings.width
+    seed = jnp.asarray(settings.seed, jnp.int32)
+    rng_mod.set_sampler(rng_mod.INDEPENDENT)
+    vpls = jax.jit(
+        lambda sc: int_vpl.generate_vpls(sc, static, cfg, cfg.vpl_count, seed + 777)
+    )(scene)
+
+    @jax.jit
+    def one_pass(scene_, vpls_, film, sample_idx):
+        pixel_idx = jnp.arange(H * W, dtype=jnp.int32)
+        pos = pixel_sample_positions(settings, pixel_idx, sample_idx, seed)
+        uv = pos / jnp.asarray([W, H], jnp.float32)
+        u_ap = rng_mod.uniform2(seed, pixel_idx, sample_idx, icommon.DIM_APERTURE)
+        o, d = sensor_mod.sample_ray(sensor, uv, u_ap)
+        L = int_vpl.li(scene_, static, cfg, vpls_, o, d, seed, pixel_idx,
+                       sample_idx)
+        return film_mod_.splat_aligned(film, L.reshape(H, W, 3))
+
+    film = film_mod.Film.empty(H, W)
+    for s in range(settings.spp):
+        film = one_pass(scene, vpls, film, jnp.asarray(s, jnp.int32))
+    return film_mod.develop(film)
+
+
 def render(scene, static, sensor, cfg: icommon.IntegratorConfig,
            settings: RenderSettings):
     """Full render: jit-compiled sample passes, host loop over spp chunks.
 
     Returns the developed (H, W, 3) image.
     """
+    if cfg.type == icommon.PTRACER:
+        return render_light_traced(scene, static, sensor, cfg, settings)
+    if cfg.type == icommon.VPL:
+        return render_vpl(scene, static, sensor, cfg, settings)
     H, W = settings.height, settings.width
     chunk = min(settings.spp_per_pass, settings.spp)
 

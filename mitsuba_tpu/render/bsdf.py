@@ -49,9 +49,19 @@ WARD = 10
 NULL = 11
 MASK = 12           # opacity-masked nested BSDF (opacity from texture slot)
 
+MIXTURE = 13        # w * A + (1 - w) * B, static weight (mixturebsdf.cpp)
+BLEND = 14          # like MIXTURE with textured weight (blendbsdf.cpp)
+DIFFTRANS = 15      # diffuse transmitter (difftrans.cpp)
+COATING = 16        # smooth dielectric layer over nested A (coating.cpp)
+HK = 17             # Hanrahan-Krueger single-scattering slab (hk.cpp)
+
 SMOOTH_TYPES = (DIFFUSE, PLASTIC, ROUGH_CONDUCTOR, ROUGH_PLASTIC,
-                ROUGH_DIELECTRIC, ROUGH_DIFFUSE, PHONG, WARD)
+                ROUGH_DIELECTRIC, ROUGH_DIFFUSE, PHONG, WARD, DIFFTRANS, HK)
 DELTA_TYPES = (DIELECTRIC, CONDUCTOR, THIN_DIELECTRIC, NULL)
+# types whose rows reference other material rows via nested_a / nested_b;
+# nested rows must themselves be non-nesting (one level, like the dominant
+# usage of the reference's plugin nesting)
+NESTED_TYPES = (MIXTURE, BLEND, MASK, COATING)
 
 
 class MaterialTable(NamedTuple):
@@ -71,6 +81,17 @@ class MaterialTable(NamedTuple):
     twosided: jnp.ndarray    # (M,) bool: flip frame on backface (twosided.cpp)
     opacity_tex: jnp.ndarray # (M,) int32 opacity texture (mask.cpp) or -1
     interior_medium: jnp.ndarray  # (M,) int32 medium id inside the surface (-1 none)
+    nested_a: jnp.ndarray    # (M,) int32 nested material A (mixture/blend/mask/coating)
+    nested_b: jnp.ndarray    # (M,) int32 nested material B (mixture/blend)
+    weight: jnp.ndarray      # (M,) mixture weight of A (mixturebsdf weights)
+    weight_tex: jnp.ndarray  # (M,) int32 blend weight texture (blendbsdf.cpp) or -1
+    normal_tex: jnp.ndarray  # (M,) int32 tangent-space normal map (normalmap.cpp) or -1
+    bump_tex: jnp.ndarray    # (M,) int32 height texture (bumpmap.cpp) or -1
+    bump_scale: jnp.ndarray  # (M,) bump height scale
+    # HK slab (hk.cpp): k doubles as sigma_t, albedo as sigma_s; thickness +
+    # phase-g live here
+    hk_thickness: jnp.ndarray  # (M,)
+    hk_g: jnp.ndarray          # (M,) HG phase anisotropy
 
     @property
     def count(self):
@@ -95,6 +116,10 @@ class BsdfLocals(NamedTuple):
     alpha: jnp.ndarray     # (R, 2)
     nonlinear: jnp.ndarray # (R,) bool (plastic internal-scattering mode)
     twosided: jnp.ndarray  # (R,) bool
+    opacity: jnp.ndarray   # (R,) mask.cpp opacity (1 = fully present)
+    blend_w: jnp.ndarray   # (R,) mixture/blend weight of nested A
+    hk_thickness: jnp.ndarray  # (R,)
+    hk_g: jnp.ndarray      # (R,)
 
 
 class BsdfSample(NamedTuple):
@@ -106,10 +131,14 @@ class BsdfSample(NamedTuple):
 
 
 def gather_locals(table: MaterialTable, mat_id, albedo_override=None,
-                  alpha_override=None) -> BsdfLocals:
+                  alpha_override=None, opacity_override=None,
+                  blend_override=None) -> BsdfLocals:
     mid = jnp.maximum(mat_id, 0)
     albedo = table.albedo[mid] if albedo_override is None else albedo_override
     alpha = table.alpha[mid] if alpha_override is None else alpha_override
+    sh = jnp.shape(mid)
+    opacity = (jnp.ones(sh) if opacity_override is None else opacity_override)
+    blend_w = table.weight[mid] if blend_override is None else blend_override
     return BsdfLocals(
         type=table.type[mid],
         dist=table.dist[mid],
@@ -122,6 +151,10 @@ def gather_locals(table: MaterialTable, mat_id, albedo_override=None,
         alpha=alpha,
         nonlinear=table.nonlinear[mid],
         twosided=table.twosided[mid],
+        opacity=opacity,
+        blend_w=blend_w,
+        hk_thickness=table.hk_thickness[mid],
+        hk_g=table.hk_g[mid],
     )
 
 
@@ -522,6 +555,196 @@ def _phong_sample(bl, wi, u_lobe, u2):
     return wo, weight, jnp.where(ok, pdf, 0.0), jnp.zeros(ok.shape, bool), jnp.ones(ok.shape)
 
 
+# --- ward (ward.cpp: anisotropic Ward-Duer, variant='ward' normalization) --
+
+def _ward_spec(bl, wi, wo):
+    """Specular term of the Ward model (no cos factor)."""
+    au = jnp.maximum(bl.alpha[..., 0], 1e-4)
+    av = jnp.maximum(bl.alpha[..., 1], 1e-4)
+    h = wi + wo
+    hz2 = h[..., 2] * h[..., 2]
+    exponent = -m.safe_div(
+        (h[..., 0] / au) ** 2 + (h[..., 1] / av) ** 2, jnp.maximum(hz2, 1e-12)
+    )
+    ci, co = wi[..., 2], wo[..., 2]
+    denom = 4.0 * jnp.pi * au * av * jnp.sqrt(jnp.maximum(ci * co, 1e-12))
+    return m.safe_div(jnp.exp(exponent), denom)
+
+
+def _ward_eval(bl, wi, wo):
+    ok = (wi[..., 2] > 0) & (wo[..., 2] > 0)
+    spec = bl.spec_refl * _ward_spec(bl, wi, wo)[..., None]
+    diff = bl.albedo * warp.INV_PI
+    f = (spec + diff) * jnp.maximum(wo[..., 2], 0.0)[..., None]
+    return jnp.where(ok[..., None], f, 0.0)
+
+
+def _ward_pdf_spec(bl, wi, wo):
+    """Half-vector gaussian sampling density mapped to wo."""
+    au = jnp.maximum(bl.alpha[..., 0], 1e-4)
+    av = jnp.maximum(bl.alpha[..., 1], 1e-4)
+    h = m.normalize(wi + wo)
+    hz = jnp.maximum(h[..., 2], 1e-6)
+    exponent = -((h[..., 0] / au) ** 2 + (h[..., 1] / av) ** 2) / (hz * hz)
+    # p(h) = exp / (pi au av hz^3); dwo = 4 (h.wi) dh
+    p_h = m.safe_div(jnp.exp(exponent), jnp.pi * au * av * hz ** 3)
+    return m.safe_div(p_h, 4.0 * jnp.abs(m.dot(h, wi)))
+
+
+def _ward_probs(bl):
+    spec_w = _lum(bl.spec_refl)
+    diff_w = _lum(bl.albedo)
+    return m.safe_div(spec_w, jnp.maximum(spec_w + diff_w, 1e-9))
+
+
+def _ward_pdf(bl, wi, wo):
+    ok = (wi[..., 2] > 0) & (wo[..., 2] > 0)
+    ps = _ward_probs(bl)
+    pdf = ps * _ward_pdf_spec(bl, wi, wo) + (1.0 - ps) * \
+        warp.square_to_cosine_hemisphere_pdf(wo)
+    return jnp.where(ok, pdf, 0.0)
+
+
+def _ward_sample(bl, wi, u_lobe, u2):
+    ok = wi[..., 2] > 0
+    au = jnp.maximum(bl.alpha[..., 0], 1e-4)
+    av = jnp.maximum(bl.alpha[..., 1], 1e-4)
+    ps = _ward_probs(bl)
+    choose_spec = u_lobe < ps
+    # half-vector sampling (ward.cpp sample): anisotropic gaussian
+    phi = 2.0 * jnp.pi * u2[..., 1]
+    cp, sp = jnp.cos(phi), jnp.sin(phi)
+    # remap the azimuth for anisotropy
+    phi_h = jnp.arctan2(av * sp, au * cp)
+    cph, sph = jnp.cos(phi_h), jnp.sin(phi_h)
+    t2 = -jnp.log(jnp.maximum(u2[..., 0], 1e-9)) / \
+        ((cph / au) ** 2 + (sph / av) ** 2)
+    ct = 1.0 / jnp.sqrt(1.0 + t2)
+    st = m.safe_sqrt(1.0 - ct * ct)
+    h = jnp.stack([st * cph, st * sph, ct], axis=-1)
+    wo_spec = m.reflect(wi, h)
+    wo_diff = warp.square_to_cosine_hemisphere(u2)
+    wo = jnp.where(choose_spec[..., None], wo_spec, wo_diff)
+    pdf = _ward_pdf(bl, wi, wo)
+    f = _ward_eval(bl, wi, wo)
+    ok = ok & (pdf > 1e-12) & (wo[..., 2] > 0)
+    weight = jnp.where(ok[..., None], m.safe_div(f, jnp.maximum(pdf, 1e-12)[..., None]), 0.0)
+    return wo, weight, jnp.where(ok, pdf, 0.0), jnp.zeros(ok.shape, bool), jnp.ones(ok.shape)
+
+
+# --- diffuse transmitter (difftrans.cpp) ------------------------------------
+
+def _difftrans_eval(bl, wi, wo):
+    ok = wi[..., 2] * wo[..., 2] < 0  # opposite hemispheres
+    f = bl.spec_trans * (warp.INV_PI * jnp.abs(wo[..., 2]))[..., None]
+    return jnp.where(ok[..., None], f, 0.0)
+
+
+def _difftrans_pdf(bl, wi, wo):
+    ok = wi[..., 2] * wo[..., 2] < 0
+    return jnp.where(ok, warp.INV_PI * jnp.abs(wo[..., 2]), 0.0)
+
+
+def _difftrans_sample(bl, wi, u_lobe, u2):
+    wo_up = warp.square_to_cosine_hemisphere(u2)
+    # flip into the hemisphere opposite wi
+    sgn = -jnp.sign(wi[..., 2])
+    wo = wo_up * jnp.stack(
+        [jnp.ones_like(sgn), jnp.ones_like(sgn), sgn], axis=-1
+    )
+    pdf = warp.INV_PI * jnp.abs(wo[..., 2])
+    weight = bl.spec_trans
+    return wo, weight, jnp.maximum(pdf, 1e-12), jnp.zeros(wi.shape[:-1], bool), jnp.ones(wi.shape[:-1])
+
+
+# --- Hanrahan-Krueger slab (hk.cpp): single scattering + delta transmission -
+
+def _hg_phase(g, cos_t):
+    """Henyey-Greenstein phase function value."""
+    g2 = g * g
+    denom = jnp.maximum(1.0 + g2 - 2.0 * g * cos_t, 1e-6)
+    return warp.INV_FOURPI * (1.0 - g2) / (denom * jnp.sqrt(denom))
+
+
+def _hk_parts(bl, wi, wo):
+    """Single-scattering reflection/transmission of a slab of optical
+    depth tau = sigma_t * thickness (hk.cpp; sigma_s=albedo field,
+    sigma_t=k field). Returns f (no cos_o)."""
+    sig_s = bl.albedo
+    sig_t = jnp.maximum(bl.k_c, 1e-9)
+    alb = sig_s / sig_t
+    tau = sig_t * bl.hk_thickness[..., None]
+    mu_i = jnp.maximum(jnp.abs(wi[..., 2]), 1e-6)[..., None]
+    mu_o = jnp.maximum(jnp.abs(wo[..., 2]), 1e-6)[..., None]
+    cos_wiwo = m.dot(-wi, wo)  # phase angle between transport directions
+    p = _hg_phase(bl.hk_g, cos_wiwo)[..., None]
+    refl = (wi[..., 2] * wo[..., 2] > 0)[..., None]
+    # reflection: alb * p * mu_o/(mu_i+mu_o) * (1 - exp(-tau(1/mu_i+1/mu_o))) / mu_o
+    f_r = alb * p * m.safe_div(
+        1.0 - jnp.exp(-tau * (1.0 / mu_i + 1.0 / mu_o)), mu_i + mu_o
+    )
+    # transmission single scatter
+    same_mu = jnp.abs(mu_i - mu_o) < 1e-4
+    f_t_gen = alb * p * m.safe_div(
+        jnp.exp(-tau / mu_i) - jnp.exp(-tau / mu_o),
+        mu_i - jnp.where(same_mu, mu_i + 1.0, mu_o),  # guarded; replaced below
+    )
+    f_t_lim = alb * p * tau * jnp.exp(-tau / mu_i) / (mu_i * mu_i)
+    f_t = jnp.where(same_mu, f_t_lim, f_t_gen)
+    return jnp.where(refl, f_r, jnp.maximum(f_t, 0.0))
+
+
+def _hk_eval(bl, wi, wo):
+    ok = jnp.abs(wi[..., 2]) > 1e-6
+    f = _hk_parts(bl, wi, wo) * jnp.abs(wo[..., 2])[..., None]
+    return jnp.where(ok[..., None], f, 0.0)
+
+
+def _hk_pdf_smooth(bl, wi, wo):
+    # cosine on either side, half/half
+    return 0.5 * warp.INV_PI * jnp.abs(wo[..., 2])
+
+
+def _hk_delta_t(bl, wi):
+    """Unscattered transmission through the slab."""
+    sig_t = jnp.maximum(bl.k_c, 1e-9)
+    tau = sig_t * bl.hk_thickness[..., None]
+    mu_i = jnp.maximum(jnp.abs(wi[..., 2]), 1e-6)[..., None]
+    return jnp.exp(-tau / mu_i)
+
+
+def _hk_pdf(bl, wi, wo):
+    t_lum = _lum(_hk_delta_t(bl, wi))
+    p_delta = jnp.clip(t_lum, 0.0, 0.9)
+    return (1.0 - p_delta) * _hk_pdf_smooth(bl, wi, wo)
+
+
+def _hk_sample(bl, wi, u_lobe, u2):
+    Tr = _hk_delta_t(bl, wi)
+    p_delta = jnp.clip(_lum(Tr), 0.0, 0.9)
+    choose_delta = u_lobe < p_delta
+
+    wo_up = warp.square_to_cosine_hemisphere(u2)
+    # remap the leftover lobe random for the side pick
+    u_side = m.safe_div(u_lobe - p_delta, jnp.maximum(1.0 - p_delta, 1e-9))
+    flip = u_side < 0.5
+    sgn = jnp.where(flip, 1.0, -1.0) * jnp.sign(wi[..., 2])
+    wo_s = wo_up * jnp.stack(
+        [jnp.ones_like(sgn), jnp.ones_like(sgn), sgn], axis=-1
+    )
+    pdf_s = (1.0 - p_delta) * _hk_pdf_smooth(bl, wi, wo_s)
+    f_s = _hk_eval(bl, wi, wo_s)
+    w_s = m.safe_div(f_s, jnp.maximum(pdf_s, 1e-9)[..., None])
+
+    wo_d = -wi
+    w_d = Tr / jnp.maximum(p_delta, 1e-9)[..., None]
+
+    wo = jnp.where(choose_delta[..., None], wo_d, wo_s)
+    weight = jnp.where(choose_delta[..., None], w_d, w_s)
+    pdf = jnp.where(choose_delta, p_delta, pdf_s)
+    return wo, weight, jnp.maximum(pdf, 1e-12), choose_delta, jnp.ones(wi.shape[:-1])
+
+
 def _null_sample(bl, wi, u_lobe, u2):
     """null.cpp: pass-through (used by index-matched media boundaries)."""
     wo = -wi
@@ -541,7 +764,7 @@ def _masked(mask, a, b):
     return jnp.where(mask[..., None] if a.ndim > mask.ndim else mask, a, b)
 
 
-def eval(bl: BsdfLocals, wi, wo, active_types=None):
+def _eval_base(bl: BsdfLocals, wi, wo, active_types=None):
     """f(wi, wo)·|cosθo| for the smooth lobes, per-lane type dispatch."""
     wi, wo, _ = _flip_twosided(bl, wi, wo)
     out = jnp.zeros(wi.shape[:-1] + (3,))
@@ -562,13 +785,19 @@ def eval(bl: BsdfLocals, wi, wo, active_types=None):
             v = _dist_mix(bl, lambda d: _rough_dielectric_eval(bl, d, wi, wo))
         elif t == PHONG:
             v = _phong_eval(bl, wi, wo)
+        elif t == WARD:
+            v = _ward_eval(bl, wi, wo)
+        elif t == DIFFTRANS:
+            v = _difftrans_eval(bl, wi, wo)
+        elif t == HK:
+            v = _hk_eval(bl, wi, wo)
         else:
             continue  # delta lobes eval to 0
         out = jnp.where(sel[..., None], v, out)
     return out
 
 
-def pdf(bl: BsdfLocals, wi, wo, active_types=None):
+def _pdf_base(bl: BsdfLocals, wi, wo, active_types=None):
     wi, wo, _ = _flip_twosided(bl, wi, wo)
     out = jnp.zeros(wi.shape[:-1])
     types = active_types if active_types is not None else _ALL_TYPES
@@ -588,13 +817,19 @@ def pdf(bl: BsdfLocals, wi, wo, active_types=None):
             v = _dist_mix_s(bl, lambda d: _rough_dielectric_pdf(bl, d, wi, wo))
         elif t == PHONG:
             v = _phong_pdf(bl, wi, wo)
+        elif t == WARD:
+            v = _ward_pdf(bl, wi, wo)
+        elif t == DIFFTRANS:
+            v = _difftrans_pdf(bl, wi, wo)
+        elif t == HK:
+            v = _hk_pdf(bl, wi, wo)
         else:
             continue
         out = jnp.where(sel, v, out)
     return out
 
 
-def sample(bl: BsdfLocals, wi, u_lobe, u2, active_types=None) -> BsdfSample:
+def _sample_base(bl: BsdfLocals, wi, u_lobe, u2, active_types=None) -> BsdfSample:
     wi_f, zflip = _flip_twosided(bl, wi)
     sh = wi.shape[:-1]
     out = BsdfSample(
@@ -630,6 +865,12 @@ def sample(bl: BsdfLocals, wi, u_lobe, u2, active_types=None) -> BsdfSample:
             r = _dist_mix_t(bl, lambda d: _rough_dielectric_sample(bl, d, wi_f, u_lobe, u2))
         elif t == PHONG:
             r = _phong_sample(bl, wi_f, u_lobe, u2)
+        elif t == WARD:
+            r = _ward_sample(bl, wi_f, u_lobe, u2)
+        elif t == DIFFTRANS:
+            r = _difftrans_sample(bl, wi_f, u_lobe, u2)
+        elif t == HK:
+            r = _hk_sample(bl, wi_f, u_lobe, u2)
         elif t == NULL:
             r = _null_sample(bl, wi_f, u_lobe, u2)
         else:
@@ -671,5 +912,208 @@ def _dist_mix_t(bl, fn):
 
 _ALL_TYPES = (
     DIFFUSE, DIELECTRIC, CONDUCTOR, ROUGH_CONDUCTOR, PLASTIC, ROUGH_PLASTIC,
-    ROUGH_DIELECTRIC, THIN_DIELECTRIC, ROUGH_DIFFUSE, PHONG, NULL,
+    ROUGH_DIELECTRIC, THIN_DIELECTRIC, ROUGH_DIFFUSE, PHONG, WARD, DIFFTRANS,
+    HK, NULL,
 )
+
+
+# === nested-material layer (mixture/blend/mask/coating) ====================
+# ``nested`` is (bl_a, bl_b, nested_types): locals gathered via the
+# MaterialTable's nested_a/nested_b columns (scene.bsdf_nested). Nesting is
+# one level deep — nested rows dispatch through the base layer only.
+
+def _coat_refract(v, eta):
+    """Refract v across z into a medium of relative IOR eta, KEEPING the
+    hemisphere sign (coating.cpp refractIn): returns (v', |cos'|)."""
+    sz = jnp.sign(v[..., 2])
+    sin2 = jnp.maximum(1.0 - v[..., 2] * v[..., 2], 0.0)
+    sin2_p = sin2 / (eta * eta)
+    cos_p = jnp.sqrt(jnp.maximum(1.0 - sin2_p, 1e-12))
+    vp = jnp.stack(
+        [v[..., 0] / eta, v[..., 1] / eta, sz * cos_p], axis=-1
+    )
+    return m.normalize(vp), cos_p
+
+
+def _coat_refract_out(vp, eta):
+    """Inverse of _coat_refract: medium -> outside. Returns (v, valid)
+    with valid=False on total internal reflection."""
+    sz = jnp.sign(vp[..., 2])
+    sin2_p = jnp.maximum(1.0 - vp[..., 2] * vp[..., 2], 0.0)
+    sin2 = sin2_p * eta * eta
+    valid = sin2 < 1.0
+    cos_o = jnp.sqrt(jnp.maximum(1.0 - sin2, 1e-12))
+    v = jnp.stack(
+        [vp[..., 0] * eta, vp[..., 1] * eta, sz * cos_o], axis=-1
+    )
+    return m.normalize(v), valid
+
+
+def _coating_common(bl, wi, wo):
+    eta = bl.eta_s
+    wi_p, ci_p = _coat_refract(wi, eta)
+    wo_p, co_p = _coat_refract(wo, eta)
+    Fi, _ = m.fresnel_dielectric(jnp.abs(wi[..., 2]), eta)
+    Fo, _ = m.fresnel_dielectric(jnp.abs(wo[..., 2]), eta)
+    # absorption: k_c doubles as sigma_a * thickness for coating rows
+    T = jnp.exp(-bl.k_c * (1.0 / jnp.maximum(ci_p, 1e-6)
+                           + 1.0 / jnp.maximum(co_p, 1e-6))[..., None])
+    jac = m.safe_div(jnp.abs(wo[..., 2]), eta * eta * jnp.maximum(co_p, 1e-6))
+    return wi_p, wo_p, Fi, Fo, T, jac
+
+
+def _coating_eval(bl, bl_a, ntypes, wi, wo):
+    wi_p, wo_p, Fi, Fo, T, jac = _coating_common(bl, wi, wo)
+    f_n = _eval_base(bl_a, wi_p, wo_p, ntypes)
+    return f_n * ((1.0 - Fi) * (1.0 - Fo) * jac)[..., None] * T
+
+
+def _coating_pdf(bl, bl_a, ntypes, wi, wo):
+    wi_p, wo_p, Fi, _, _, jac = _coating_common(bl, wi, wo)
+    p_n = _pdf_base(bl_a, wi_p, wo_p, ntypes)
+    p_spec = jnp.clip(Fi, 0.05, 0.95)  # must match sample()'s lobe prob
+    return (1.0 - p_spec) * p_n * jac
+
+
+def eval(bl: BsdfLocals, wi, wo, active_types=None, nested=None):
+    out = _eval_base(bl, wi, wo, active_types)
+    if nested is None:
+        return out
+    bl_a, bl_b, ntypes = nested
+    types = active_types if active_types is not None else _ALL_TYPES
+    if MIXTURE in types or BLEND in types or MASK in types:
+        f_a = _eval_base(bl_a, wi, wo, ntypes)
+        w = bl.blend_w[..., None]
+        if MIXTURE in types or BLEND in types:
+            f_b = _eval_base(bl_b, wi, wo, ntypes)
+            mixsel = (bl.type == MIXTURE) | (bl.type == BLEND)
+            out = jnp.where(mixsel[..., None], w * f_a + (1.0 - w) * f_b, out)
+        if MASK in types:
+            out = jnp.where((bl.type == MASK)[..., None],
+                            bl.opacity[..., None] * f_a, out)
+    if COATING in types:
+        out = jnp.where((bl.type == COATING)[..., None],
+                        _coating_eval(bl, bl_a, ntypes, wi, wo), out)
+    return out
+
+
+def pdf(bl: BsdfLocals, wi, wo, active_types=None, nested=None):
+    out = _pdf_base(bl, wi, wo, active_types)
+    if nested is None:
+        return out
+    bl_a, bl_b, ntypes = nested
+    types = active_types if active_types is not None else _ALL_TYPES
+    if MIXTURE in types or BLEND in types or MASK in types:
+        p_a = _pdf_base(bl_a, wi, wo, ntypes)
+        w = bl.blend_w
+        if MIXTURE in types or BLEND in types:
+            p_b = _pdf_base(bl_b, wi, wo, ntypes)
+            mixsel = (bl.type == MIXTURE) | (bl.type == BLEND)
+            out = jnp.where(mixsel, w * p_a + (1.0 - w) * p_b, out)
+        if MASK in types:
+            out = jnp.where(bl.type == MASK, bl.opacity * p_a, out)
+    if COATING in types:
+        out = jnp.where(bl.type == COATING,
+                        _coating_pdf(bl, bl_a, ntypes, wi, wo), out)
+    return out
+
+
+def sample(bl: BsdfLocals, wi, u_lobe, u2, active_types=None,
+           nested=None) -> BsdfSample:
+    out = _sample_base(bl, wi, u_lobe, u2, active_types)
+    if nested is None:
+        return out
+    bl_a, bl_b, ntypes = nested
+    types = active_types if active_types is not None else _ALL_TYPES
+
+    def _sel(mask, r, out):
+        return BsdfSample(
+            wo=jnp.where(mask[..., None], r.wo, out.wo),
+            weight=jnp.where(mask[..., None], r.weight, out.weight),
+            pdf=jnp.where(mask, r.pdf, out.pdf),
+            is_delta=jnp.where(mask, r.is_delta, out.is_delta),
+            eta=jnp.where(mask, r.eta, out.eta),
+        )
+
+    if MIXTURE in types or BLEND in types:
+        # one-sample MIS over the two nested lobes (mixturebsdf.cpp pdf
+        # combination): pick A w.p. blend_w, re-use the remapped random
+        w = jnp.clip(bl.blend_w, 1e-4, 1.0 - 1e-4)
+        pick_a = u_lobe < w
+        u_a = jnp.clip(u_lobe / w, 0.0, 1.0 - 1e-7)
+        u_b = jnp.clip((u_lobe - w) / (1.0 - w), 0.0, 1.0 - 1e-7)
+        r_a = _sample_base(bl_a, wi, u_a, u2, ntypes)
+        r_b = _sample_base(bl_b, wi, u_b, u2, ntypes)
+        wo_m = jnp.where(pick_a[..., None], r_a.wo, r_b.wo)
+        chosen_delta = jnp.where(pick_a, r_a.is_delta, r_b.is_delta)
+        chosen_w = jnp.where(pick_a[..., None], r_a.weight, r_b.weight)
+        chosen_pdf = jnp.where(pick_a, r_a.pdf, r_b.pdf)
+        chosen_eta = jnp.where(pick_a, r_a.eta, r_b.eta)
+        # smooth path: full eval + combined pdf
+        f_m = (w[..., None] * _eval_base(bl_a, wi, wo_m, ntypes)
+               + (1.0 - w)[..., None] * _eval_base(bl_b, wi, wo_m, ntypes))
+        p_m = (w * _pdf_base(bl_a, wi, wo_m, ntypes)
+               + (1.0 - w) * _pdf_base(bl_b, wi, wo_m, ntypes))
+        w_smooth = m.safe_div(f_m, jnp.maximum(p_m, 1e-12)[..., None])
+        weight_m = jnp.where(chosen_delta[..., None], chosen_w, w_smooth)
+        pdf_m = jnp.where(chosen_delta,
+                          jnp.where(pick_a, w, 1.0 - w) * chosen_pdf, p_m)
+        r_mix = BsdfSample(wo=wo_m, weight=weight_m, pdf=pdf_m,
+                           is_delta=chosen_delta, eta=chosen_eta)
+        out = _sel((bl.type == MIXTURE) | (bl.type == BLEND), r_mix, out)
+
+    if MASK in types:
+        op = jnp.clip(bl.opacity, 0.0, 1.0)
+        interact = u_lobe < op
+        u_n = jnp.clip(m.safe_div(u_lobe, jnp.maximum(op, 1e-7)), 0.0, 1.0 - 1e-7)
+        r_n = _sample_base(bl_a, wi, u_n, u2, ntypes)
+        sh = wi.shape[:-1]
+        r_pass = BsdfSample(
+            wo=-wi, weight=jnp.ones(sh + (3,)), pdf=jnp.maximum(1.0 - op, 1e-12),
+            is_delta=jnp.ones(sh, bool), eta=jnp.ones(sh),
+        )
+        r_m = BsdfSample(
+            wo=jnp.where(interact[..., None], r_n.wo, r_pass.wo),
+            weight=jnp.where(interact[..., None], r_n.weight, r_pass.weight),
+            pdf=jnp.where(interact, op * r_n.pdf, r_pass.pdf),
+            is_delta=jnp.where(interact, r_n.is_delta, r_pass.is_delta),
+            eta=jnp.where(interact, r_n.eta, r_pass.eta),
+        )
+        out = _sel(bl.type == MASK, r_m, out)
+
+    if COATING in types:
+        eta = bl.eta_s
+        Fi, _ = m.fresnel_dielectric(jnp.abs(wi[..., 2]), eta)
+        p_spec = jnp.clip(Fi, 0.05, 0.95)
+        choose_spec = u_lobe < p_spec
+        wo_s = jnp.stack([-wi[..., 0], -wi[..., 1], wi[..., 2]], axis=-1)
+        w_s = bl.spec_refl * m.safe_div(Fi, p_spec)[..., None]
+
+        wi_p, ci_p = _coat_refract(wi, eta)
+        u_n = jnp.clip(m.safe_div(u_lobe - p_spec, 1.0 - p_spec), 0.0, 1.0 - 1e-7)
+        r_n = _sample_base(bl_a, wi_p, u_n, u2, ntypes)
+        wo_c, valid_out = _coat_refract_out(r_n.wo, eta)
+        Fo, _ = m.fresnel_dielectric(jnp.abs(wo_c[..., 2]), eta)
+        co_p = jnp.abs(r_n.wo[..., 2])
+        T = jnp.exp(-bl.k_c * (1.0 / jnp.maximum(ci_p, 1e-6)
+                               + 1.0 / jnp.maximum(co_p, 1e-6))[..., None])
+        ok_n = valid_out & (r_n.pdf > 0)
+        w_n = jnp.where(
+            ok_n[..., None],
+            r_n.weight * T * m.safe_div((1.0 - Fi) * (1.0 - Fo),
+                                        1.0 - p_spec)[..., None],
+            0.0,
+        )
+        jac = m.safe_div(jnp.abs(wo_c[..., 2]), eta * eta * jnp.maximum(co_p, 1e-6))
+        # TIR at the inner interface: the sample is lost (coating.cpp
+        # discards it) — signal with pdf = 0 so integrators kill the lane
+        pdf_n = jnp.where(ok_n, (1.0 - p_spec) * r_n.pdf * jac, 0.0)
+        r_c = BsdfSample(
+            wo=jnp.where(choose_spec[..., None], wo_s, wo_c),
+            weight=jnp.where(choose_spec[..., None], w_s, w_n),
+            pdf=jnp.where(choose_spec, p_spec, pdf_n),
+            is_delta=jnp.where(choose_spec, True, r_n.is_delta),
+            eta=jnp.ones(wi.shape[:-1]),
+        )
+        out = _sel(bl.type == COATING, r_c, out)
+    return out

@@ -196,6 +196,175 @@ def sample_direct(scene, static, p_ref, u3):
     )
 
 
+class EmitterRaySample(NamedTuple):
+    """Result of Scene::sampleEmitterRay (scene.cpp:981) — a light-carrying
+    ray for particle tracing, with everything the camera connection at the
+    emitter vertex itself needs."""
+
+    o: jnp.ndarray         # (R, 3) ray origin (on the emitter / env disk)
+    d: jnp.ndarray         # (R, 3) emission direction
+    weight: jnp.ndarray    # (R, 3) power / pdf throughput for the walk
+    n: jnp.ndarray         # (R, 3) emitter surface normal (0 for non-area)
+    pdf_area: jnp.ndarray  # (R,) area pdf of the emitter vertex (area only)
+    radiance: jnp.ndarray  # (R, 3) Le at the vertex (area only)
+    is_area: jnp.ndarray   # (R,) bool: vertex is a visible emitting surface
+    valid: jnp.ndarray     # (R,) bool
+
+
+def sample_ray(scene, static, u4, u2):
+    """Sample an emitter + a light-carrying ray (AbstractEmitter::sampleRay
+    dispatched over the table; emitter pick via the same CDF as NEE).
+
+    ``u4``: emitter select + 2D position + 1 spare; ``u2``: direction.
+    ``weight`` is radiant power over all sampling pdfs, so a particle
+    tracer's estimator is E[sum splat(weight * ...)] with no further
+    normalization beyond 1/N_particles.
+    """
+    em = scene.emitters
+    R = u4.shape[0]
+    u_sel, u0, u1 = u4[..., 0], u4[..., 1], u4[..., 2]
+
+    e_idx = jnp.clip(
+        jnp.searchsorted(em.cdf, u_sel, side="right"), 0, em.count - 1
+    ).astype(jnp.int32)
+    lo_cdf = jnp.where(e_idx > 0, em.cdf[jnp.maximum(e_idx - 1, 0)], 0.0)
+    u_re = jnp.clip(
+        m.safe_div(u_sel - lo_cdf, jnp.maximum(em.pmf[e_idx], 1e-12)), 0.0, 1.0 - 1e-7
+    )
+    etype = em.type[e_idx]
+    epmf = jnp.maximum(em.pmf[e_idx], 1e-12)
+
+    o = jnp.zeros((R, 3))
+    d = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (R, 1))
+    weight = jnp.zeros((R, 3))
+    n_out = jnp.zeros((R, 3))
+    pdf_area = jnp.zeros((R,))
+    radiance = jnp.zeros((R, 3))
+    is_area = jnp.zeros((R,), bool)
+    valid = jnp.zeros((R,), bool)
+
+    center = 0.5 * (scene.aabb_lo + scene.aabb_hi)
+    radius = scene.radius
+
+    if AREA in static.emitter_types:
+        # vertex ~ area-weighted triangle + uniform barycentrics
+        key = e_idx.astype(jnp.float32) + u_re
+        j = jnp.clip(
+            jnp.searchsorted(em.etri_cdf, key, side="right"),
+            0, em.etri_tri.shape[0] - 1,
+        )
+        tri = em.etri_tri[j]
+        p0, e1, e2 = _gather_tri(scene, tri)
+        bc = warp.square_to_uniform_triangle(jnp.stack([u0, u1], axis=-1))
+        y = p0 + bc[..., 0:1] * e1 + bc[..., 1:2] * e2
+        n_l = scene.tri_gn[tri]
+        p_A = jnp.maximum(scene.tri_nee_pdf_area[tri], 1e-20)
+        # direction ~ cosine hemisphere about the (front) geometric normal
+        from ..core.frame import Frame
+
+        wo_local = warp.square_to_cosine_hemisphere(u2)
+        d_a = Frame.from_normal(n_l).to_world(wo_local)
+        Le = em.radiance[e_idx]
+        # weight = Le cos / (p_A * cos/pi) = Le * pi / p_A
+        w_a = Le * (jnp.pi / p_A)[..., None]
+        sel = etype == AREA
+        o = jnp.where(sel[..., None], y, o)
+        d = jnp.where(sel[..., None], d_a, d)
+        weight = jnp.where(sel[..., None], w_a, weight)
+        n_out = jnp.where(sel[..., None], n_l, n_out)
+        pdf_area = jnp.where(sel, p_A, pdf_area)
+        radiance = jnp.where(sel[..., None], Le, radiance)
+        is_area = jnp.where(sel, True, is_area)
+        valid = jnp.where(sel, wo_local[..., 2] > 0, valid)
+
+    if POINT in static.emitter_types:
+        d_p = warp.square_to_uniform_sphere(u2)
+        w_p = em.radiance[e_idx] * (4.0 * jnp.pi / epmf)[..., None]
+        sel = etype == POINT
+        o = jnp.where(sel[..., None], em.position[e_idx], o)
+        d = jnp.where(sel[..., None], d_p, d)
+        weight = jnp.where(sel[..., None], w_p, weight)
+        valid = jnp.where(sel, True, valid)
+
+    if SPOT in static.emitter_types:
+        # uniform cone up to the cutoff (spot.cpp sampleRay)
+        cc = em.spot_cos[e_idx, 0]
+        cb = em.spot_cos[e_idx, 1]
+        local = warp.square_to_uniform_cone(u2, cc)
+        from ..core.frame import Frame
+
+        d_s = Frame.from_normal(em.direction[e_idx]).to_world(local)
+        cos_f = local[..., 2]
+        fall = jnp.clip(m.safe_div(cos_f - cc, cb - cc), 0.0, 1.0)
+        fall = jnp.where(cos_f >= cb, 1.0, fall)
+        pdf_cone = warp.square_to_uniform_cone_pdf(cc)
+        w_s = em.radiance[e_idx] * (fall / (pdf_cone * epmf))[..., None]
+        sel = etype == SPOT
+        o = jnp.where(sel[..., None], em.position[e_idx], o)
+        d = jnp.where(sel[..., None], d_s, d)
+        weight = jnp.where(sel[..., None], w_s, weight)
+        valid = jnp.where(sel, True, valid)
+
+    def _disk_origin(d_emit, u2_):
+        """Point on the scene-bounding disk perpendicular to d_emit
+        (directional.cpp / envmap.cpp sampleRay)."""
+        from ..core.frame import Frame
+
+        fr_ = Frame.from_normal(d_emit)
+        dsk = warp.square_to_uniform_disk_concentric(u2_) * radius
+        off = fr_.to_world(
+            jnp.concatenate([dsk, jnp.zeros_like(dsk[..., :1])], axis=-1)
+        )
+        return center - d_emit * radius + off
+
+    if DIRECTIONAL in static.emitter_types:
+        d_dir = em.direction[e_idx]
+        o_d = _disk_origin(d_dir, jnp.stack([u0, u1], axis=-1))
+        w_d = em.radiance[e_idx] * (jnp.pi * radius * radius / epmf)[..., None]
+        sel = etype == DIRECTIONAL
+        o = jnp.where(sel[..., None], o_d, o)
+        d = jnp.where(sel[..., None], d_dir, d)
+        weight = jnp.where(sel[..., None], w_d, weight)
+        valid = jnp.where(sel, True, valid)
+
+    if COLLIMATED in static.emitter_types:
+        sel = etype == COLLIMATED
+        o = jnp.where(sel[..., None], em.position[e_idx], o)
+        d = jnp.where(sel[..., None], em.direction[e_idx], d)
+        weight = jnp.where(sel[..., None], em.radiance[e_idx] / epmf[..., None],
+                           weight)
+        valid = jnp.where(sel, True, valid)
+
+    if CONSTANT in static.emitter_types:
+        d_env = warp.square_to_uniform_sphere(u2)  # direction toward the env
+        o_c = _disk_origin(-d_env, jnp.stack([u0, u1], axis=-1))
+        w_c = em.radiance[e_idx] * (
+            4.0 * jnp.pi * jnp.pi * radius * radius / epmf
+        )[..., None]
+        sel = etype == CONSTANT
+        o = jnp.where(sel[..., None], o_c, o)
+        d = jnp.where(sel[..., None], -d_env, d)
+        weight = jnp.where(sel[..., None], w_c, weight)
+        valid = jnp.where(sel, True, valid)
+
+    if ENVMAP in static.emitter_types:
+        d_env, pdf_e, rad_e = _envmap_sample(em, u2)
+        o_e = _disk_origin(-d_env, jnp.stack([u0, u1], axis=-1))
+        w_e = rad_e * m.safe_div(
+            jnp.pi * radius * radius, pdf_e * epmf
+        )[..., None]
+        sel = etype == ENVMAP
+        o = jnp.where(sel[..., None], o_e, o)
+        d = jnp.where(sel[..., None], -d_env, d)
+        weight = jnp.where(sel[..., None], w_e, weight)
+        valid = jnp.where(sel, pdf_e > 0, valid)
+
+    return EmitterRaySample(
+        o=o, d=d, weight=weight, n=n_out, pdf_area=pdf_area,
+        radiance=radiance, is_area=is_area, valid=valid,
+    )
+
+
 def pdf_direct_env(scene, static, d_world):
     """Solid-angle pdf that NEE would generate escaping direction d
     toward the environment emitter (for BSDF-side MIS)."""

@@ -14,6 +14,14 @@ DIRECT = 1
 PATH = 2
 FIELD = 3
 VOLPATH = 4
+PTRACER = 5
+VPL = 6
+SPPM = 7
+ADAPTIVE = 8
+MULTICHANNEL = 9
+MOTION = 10
+BDPT = 11
+PSSMLT = 12
 
 # field integrator AOVs (misc/field.cpp)
 FIELD_POSITION = 0
@@ -43,6 +51,9 @@ class IntegratorConfig:
     shading_samples: int = 1
     # field.cpp
     field: int = FIELD_NORMAL
+    # vpl.cpp
+    vpl_count: int = 64          # light-walk count (shadowMapResolution analog n/a)
+    vpl_clamp: float = 0.05      # relative min-distance bound (vpl.cpp clamping)
 
 
 def mis_power(pdf_a, pdf_b):

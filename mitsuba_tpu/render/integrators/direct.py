@@ -42,6 +42,7 @@ def li(scene, static, cfg: IntegratorConfig, o, d, seed, pixel, sample):
         L = L + jnp.where(active[..., None], Le, 0.0)
 
     bl = scene_mod.bsdf_locals(scene, its, static)
+    nst = scene_mod.bsdf_nested(scene, its, static)
     dim = DIM_BASE
 
     for i in range(nE):
@@ -54,8 +55,8 @@ def li(scene, static, cfg: IntegratorConfig, o, d, seed, pixel, sample):
             scene, static, o_sh, ds.d, 0.0, ds.dist * (1.0 - 1e-3), active=ok
         )
         wo_local = its.sh_frame.to_local(ds.d)
-        f = bsdf_mod.eval(bl, its.wi, wo_local, active_types=types)
-        pdf_b = bsdf_mod.pdf(bl, its.wi, wo_local, active_types=types)
+        f = bsdf_mod.eval(bl, its.wi, wo_local, active_types=types, nested=nst)
+        pdf_b = bsdf_mod.pdf(bl, its.wi, wo_local, active_types=types, nested=nst)
         # fractional MIS (direct.cpp:99-101)
         w = jnp.where(
             ds.delta, 1.0, mis_power(ds.pdf_sa * frac_e, pdf_b * frac_b)
@@ -66,7 +67,7 @@ def li(scene, static, cfg: IntegratorConfig, o, d, seed, pixel, sample):
     for i in range(nB):
         u = rng_mod.uniform4(seed, pixel, sample, dim)
         dim += 1
-        bs = bsdf_mod.sample(bl, its.wi, u[..., 0], u[..., 1:3], active_types=types)
+        bs = bsdf_mod.sample(bl, its.wi, u[..., 0], u[..., 1:3], active_types=types, nested=nst)
         ok = active & (bs.pdf > 0) & (jnp.max(bs.weight, axis=-1) > 0)
         d2 = m.normalize(its.sh_frame.to_world(bs.wo))
         o2 = ray_offset(its.p, its.gn, d2)

@@ -101,6 +101,7 @@ def li(scene, static, cfg: IntegratorConfig, o, d, seed, pixel, sample,
         extend = active & (depth < max_depth)
 
         bl = scene_mod.bsdf_locals(scene, its, static)
+        nst = scene_mod.bsdf_nested(scene, its, static)
 
         # --- next event estimation (path.cpp:196-263 / scene.cpp:828)
         if static.emitter_types:
@@ -114,8 +115,8 @@ def li(scene, static, cfg: IntegratorConfig, o, d, seed, pixel, sample,
                 active=nee_ok,
             )
             wo_local = its.sh_frame.to_local(ds.d)
-            f = bsdf_mod.eval(bl, its.wi, wo_local, active_types=types)
-            bsdf_pdf_nee = bsdf_mod.pdf(bl, its.wi, wo_local, active_types=types)
+            f = bsdf_mod.eval(bl, its.wi, wo_local, active_types=types, nested=nst)
+            bsdf_pdf_nee = bsdf_mod.pdf(bl, its.wi, wo_local, active_types=types, nested=nst)
             w_nee = jnp.where(ds.delta, 1.0, mis_power(ds.pdf_sa, bsdf_pdf_nee))
             contrib = thr * f * ds.radiance * m.safe_div(w_nee, ds.pdf_sa)[..., None]
             L = L + jnp.where((nee_ok & vis)[..., None], contrib, 0.0)
@@ -123,7 +124,7 @@ def li(scene, static, cfg: IntegratorConfig, o, d, seed, pixel, sample,
         # --- BSDF sampling (path.cpp:215-233)
         u_b = rng_mod.uniform4(seed, pixel, sample, dim0 + DIM_BSDF)
         bs = bsdf_mod.sample(bl, its.wi, u_b[..., 0], u_b[..., 1:3],
-                             active_types=types)
+                             active_types=types, nested=nst)
         thr_new = thr * bs.weight
         eta = jnp.where(extend, s.eta * bs.eta, s.eta)
         alive = (jnp.max(thr_new, axis=-1) > 0) & (bs.pdf > 0)

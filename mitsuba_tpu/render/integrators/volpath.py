@@ -112,6 +112,7 @@ def li(scene, static, cfg: IntegratorConfig, o, d, seed, pixel, sample,
         extend_med = in_scatter & (depth < max_depth)
 
         bl = scene_mod.bsdf_locals(scene, its, static)
+        nst = scene_mod.bsdf_nested(scene, its, static)
         mid = jnp.maximum(s.medium, 0)
         ph_type = med.phase_type[mid]
         ph_g = med.phase_g[mid]
@@ -147,8 +148,8 @@ def li(scene, static, cfg: IntegratorConfig, o, d, seed, pixel, sample,
 
             # scattering function value toward the emitter
             wo_local = its.sh_frame.to_local(ds.d)
-            f_surf = bsdf_mod.eval(bl, its.wi, wo_local, active_types=types)
-            pdf_surf = bsdf_mod.pdf(bl, its.wi, wo_local, active_types=types)
+            f_surf = bsdf_mod.eval(bl, its.wi, wo_local, active_types=types, nested=nst)
+            pdf_surf = bsdf_mod.pdf(bl, its.wi, wo_local, active_types=types, nested=nst)
             if mtypes:
                 f_ph = phase_mod.eval_pdf(ph_type, ph_g, -d, ds.d,
                                           active_types=ph_active)
@@ -164,7 +165,7 @@ def li(scene, static, cfg: IntegratorConfig, o, d, seed, pixel, sample,
         # --- continue the path: phase sample or BSDF sample ---
         u_b = rng_mod.uniform4(seed, pixel, sample, dim0 + 65)
         bs = bsdf_mod.sample(bl, its.wi, u_b[..., 0], u_b[..., 1:3],
-                             active_types=types)
+                             active_types=types, nested=nst)
         d_surf = m.normalize(its.sh_frame.to_world(bs.wo))
 
         if mtypes:

@@ -113,6 +113,8 @@ class SceneStatic:
     has_textures: bool = True  # any material references a texture slot
     medium_types: tuple = ()   # medium type tags present (empty = no media)
     phase_types: tuple = ()    # phase function tags present
+    nested_bsdf_types: tuple = ()  # bsdf tags reachable via nested_a/nested_b
+    has_normal_maps: bool = False  # any material has a normal/bump texture
 
 
 # === device queries =======================================================
@@ -233,6 +235,8 @@ def ray_intersect(scene: Scene, static: SceneStatic, o, d, t_min, t_max,
     # orient geometric normal to the shading normal's side convention:
     # keep gn as authored; flip shading frame handled by BSDF twosided flag.
     frame = Frame.from_normal(n_sh)
+    if static.has_normal_maps and T > 0:
+        frame = _perturb_frame(scene, tri_idx, uv, mat_id, frame)
     wi_world = -d
     wi_local = frame.to_local(wi_world)
 
@@ -251,6 +255,72 @@ def ray_intersect(scene: Scene, static: SceneStatic, o, d, t_min, t_max,
         emitter_id=em_id,
         prim_id=jnp.where(valid, prim, -1).astype(jnp.int32),
         nee_pdf_area=nee_pdf,
+    )
+
+
+def _perturb_frame(scene: Scene, tri_idx, uv, mat_id, frame: Frame) -> Frame:
+    """normalmap.cpp / bumpmap.cpp: rebuild the shading frame from a
+    tangent-space normal map or a height texture's finite differences.
+    UV-aligned tangents come from the triangle's uv parameterization."""
+    from .texture import eval_texture
+
+    mid = jnp.maximum(mat_id, 0)
+    ntex = scene.materials.normal_tex[mid]
+    btex = scene.materials.bump_tex[mid]
+    bscale = scene.materials.bump_scale[mid]
+    has_n = ntex >= 0
+    has_b = btex >= 0
+
+    # uv-aligned tangent dpdu (trimesh.cpp computeUVTangents)
+    ti = jnp.maximum(tri_idx, 0)
+    e1 = scene.tri_e1[ti]
+    e2 = scene.tri_e2[ti]
+    duv1 = scene.tri_uv1[ti] - scene.tri_uv0[ti]
+    duv2 = scene.tri_uv2[ti] - scene.tri_uv0[ti]
+    det = duv1[..., 0] * duv2[..., 1] - duv1[..., 1] * duv2[..., 0]
+    ok_uv = jnp.abs(det) > 1e-12
+    inv = m.safe_div(1.0, jnp.where(ok_uv, det, 1.0))
+    dpdu = (e1 * duv2[..., 1:2] - e2 * duv1[..., 1:2]) * inv[..., None]
+    # fall back to the default frame tangent for degenerate uvs
+    t_u = jnp.where(ok_uv[..., None], dpdu, frame.s)
+    n = frame.n
+    t_u = t_u - n * m.dot(n, t_u, keepdims=True)
+    t_len = m.length(t_u)
+    t_u = jnp.where((t_len > 1e-9)[..., None],
+                    t_u / jnp.maximum(t_len, 1e-9)[..., None], frame.s)
+    b_v = jnp.cross(n, t_u)
+
+    n_new = n
+    if True:  # normal map branch (tangent-space rgb in [0,1])
+        c = eval_texture(scene.textures, ntex, uv,
+                         jnp.broadcast_to(jnp.asarray([0.5, 0.5, 1.0]), n.shape))
+        nt = 2.0 * c - 1.0
+        n_nm = m.normalize(
+            nt[..., 0:1] * t_u + nt[..., 1:2] * b_v + nt[..., 2:3] * n
+        )
+        n_new = jnp.where(has_n[..., None], n_nm, n_new)
+    if True:  # bump map branch (height finite differences, bumpmap.cpp)
+        eps = 5e-4
+        du = jnp.asarray([eps, 0.0])
+        dv = jnp.asarray([0.0, eps])
+        zero3 = jnp.zeros(n.shape)
+        h0 = eval_texture(scene.textures, btex, uv, zero3)[..., 0]
+        hu = eval_texture(scene.textures, btex, uv + du, zero3)[..., 0]
+        hv = eval_texture(scene.textures, btex, uv + dv, zero3)[..., 0]
+        dhdu = (hu - h0) / eps * bscale
+        dhdv = (hv - h0) / eps * bscale
+        n_bm = m.normalize(
+            jnp.cross(t_u + dhdu[..., None] * n, b_v + dhdv[..., None] * n)
+        )
+        n_bm = n_bm * jnp.sign(m.dot(n_bm, n, keepdims=True))
+        n_new = jnp.where(has_b[..., None], n_bm, n_new)
+
+    new_frame = Frame.from_normal(m.normalize(n_new))
+    any_map = (has_n | has_b)[..., None]
+    return Frame(
+        s=jnp.where(any_map, new_frame.s, frame.s),
+        t=jnp.where(any_map, new_frame.t, frame.t),
+        n=jnp.where(any_map, new_frame.n, frame.n),
     )
 
 
@@ -308,10 +378,48 @@ def eval_albedo(scene: Scene, its: Interaction, static: SceneStatic = None):
 
 def bsdf_locals(scene: Scene, its: Interaction,
                 static: SceneStatic = None) -> bsdf_mod.BsdfLocals:
+    opacity = None
+    blend = None
+    if static is None or static.has_textures:
+        from .texture import eval_texture
+
+        mid = jnp.maximum(its.mat_id, 0)
+        op_tex = scene.materials.opacity_tex[mid]
+        w_tex = scene.materials.weight_tex[mid]
+        ones3 = jnp.ones(its.uv.shape[:-1] + (3,))
+        opacity = eval_texture(scene.textures, op_tex, its.uv, ones3)[..., 0]
+        w_base = jnp.broadcast_to(
+            scene.materials.weight[mid][..., None], ones3.shape
+        )
+        blend = eval_texture(scene.textures, w_tex, its.uv, w_base)[..., 0]
     return bsdf_mod.gather_locals(
         scene.materials, its.mat_id,
-        albedo_override=eval_albedo(scene, its, static)
+        albedo_override=eval_albedo(scene, its, static),
+        opacity_override=opacity, blend_override=blend,
     )
+
+
+def bsdf_nested(scene: Scene, its: Interaction, static: SceneStatic):
+    """Nested-material locals for mixture/blend/mask/coating rows, or None
+    when the scene has no nesting (compile-time gated)."""
+    if not static.nested_bsdf_types:
+        return None
+    mid = jnp.maximum(its.mat_id, 0)
+    mat_a = scene.materials.nested_a[mid]
+    mat_b = scene.materials.nested_b[mid]
+
+    def _locals_for(nid):
+        nid_s = jnp.maximum(nid, 0)
+        alb = scene.materials.albedo[nid_s]
+        if static.has_textures:
+            from .texture import eval_texture
+
+            tex = scene.materials.albedo_tex[nid_s]
+            alb = eval_texture(scene.textures, tex, its.uv, alb)
+        return bsdf_mod.gather_locals(scene.materials, nid_s,
+                                      albedo_override=alb)
+
+    return (_locals_for(mat_a), _locals_for(mat_b), static.nested_bsdf_types)
 
 
 def emitted_radiance(scene: Scene, static: SceneStatic, its: Interaction, d):
@@ -382,6 +490,15 @@ class SceneBuilder:
         twosided: bool = False,
         opacity_tex: int = -1,
         interior_medium: int = -1,
+        nested_a: int = -1,
+        nested_b: int = -1,
+        weight: float = 0.5,
+        weight_tex: int = -1,
+        normal_tex: int = -1,
+        bump_tex: int = -1,
+        bump_scale: float = 1.0,
+        hk_thickness: float = 1.0,
+        hk_g: float = 0.0,
     ) -> int:
         if np.isscalar(eta):
             eta = (float(eta),) * 3
@@ -395,6 +512,10 @@ class SceneBuilder:
                 alpha_tex=alpha_tex, dist=dist, nonlinear=nonlinear,
                 twosided=twosided, opacity_tex=opacity_tex,
                 interior_medium=interior_medium,
+                nested_a=nested_a, nested_b=nested_b, weight=weight,
+                weight_tex=weight_tex, normal_tex=normal_tex,
+                bump_tex=bump_tex, bump_scale=bump_scale,
+                hk_thickness=hk_thickness, hk_g=hk_g,
             )
         )
         return len(self.mats) - 1
@@ -738,6 +859,15 @@ class SceneBuilder:
             opacity_tex=jnp.asarray([mm["opacity_tex"] for mm in self.mats], jnp.int32),
             interior_medium=jnp.asarray(
                 [mm.get("interior_medium", -1) for mm in self.mats], jnp.int32),
+            nested_a=jnp.asarray([mm.get("nested_a", -1) for mm in self.mats], jnp.int32),
+            nested_b=jnp.asarray([mm.get("nested_b", -1) for mm in self.mats], jnp.int32),
+            weight=jnp.asarray([mm.get("weight", 0.5) for mm in self.mats], jnp.float32),
+            weight_tex=jnp.asarray([mm.get("weight_tex", -1) for mm in self.mats], jnp.int32),
+            normal_tex=jnp.asarray([mm.get("normal_tex", -1) for mm in self.mats], jnp.int32),
+            bump_tex=jnp.asarray([mm.get("bump_tex", -1) for mm in self.mats], jnp.int32),
+            bump_scale=jnp.asarray([mm.get("bump_scale", 1.0) for mm in self.mats], jnp.float32),
+            hk_thickness=jnp.asarray([mm.get("hk_thickness", 1.0) for mm in self.mats], jnp.float32),
+            hk_g=jnp.asarray([mm.get("hk_g", 0.0) for mm in self.mats], jnp.float32),
         )
 
         textures = self._build_textures()
@@ -826,10 +956,20 @@ class SceneBuilder:
             has_env=env_index >= 0,
             has_textures=any(
                 mm["albedo_tex"] >= 0 or mm["alpha_tex"] >= 0
-                or mm["opacity_tex"] >= 0 for mm in self.mats
+                or mm["opacity_tex"] >= 0 or mm.get("weight_tex", -1) >= 0
+                for mm in self.mats
             ),
             medium_types=tuple(sorted({mm["type"] for mm in self.media})),
             phase_types=tuple(sorted({mm["phase_type"] for mm in self.media})),
+            nested_bsdf_types=tuple(sorted({
+                self.mats[mm[key]]["type"]
+                for mm in self.mats for key in ("nested_a", "nested_b")
+                if mm.get(key, -1) >= 0
+            })),
+            has_normal_maps=any(
+                mm.get("normal_tex", -1) >= 0 or mm.get("bump_tex", -1) >= 0
+                for mm in self.mats
+            ),
         )
         return scene, static
 

@@ -117,6 +117,62 @@ def make_radiancemeter(origin, direction) -> Sensor:
     return make_spherical(t)._replace(type=jnp.asarray(RADIANCEMETER, jnp.int32))
 
 
+class SensorSample(NamedTuple):
+    """Camera connection for particle tracing (PerspectiveCamera::
+    sampleDirect, sensor.h:217 / perspective.cpp). ``imp`` is the full
+    importance density 1 / (A_plane * cos^3 theta * r^2): a light vertex y
+    with power beta splats beta * f_eval(y -> cam) * imp at film position
+    ``uv``; the film is then scaled by n_pixels / n_particles."""
+
+    d: jnp.ndarray     # (R, 3) unit direction from the point TO the sensor
+    dist: jnp.ndarray  # (R,)
+    uv: jnp.ndarray    # (R, 2) film position in [0,1)^2
+    imp: jnp.ndarray   # (R,) importance * distance^-2
+    valid: jnp.ndarray # (R,) inside the frustum & in front
+
+
+def image_plane_area(sensor: Sensor):
+    """Area of the virtual image plane at z=1 (perspective)."""
+    t = sensor.tan_half_fov
+    return 4.0 * t * t / sensor.aspect
+
+
+def sample_direct(sensor: Sensor, p):
+    """Connect world points p (R,3) to the sensor aperture (pinhole).
+
+    Supports perspective + thinlens-as-pinhole (the reference connects to a
+    sampled aperture point, perspective.cpp sampleDirect; a zero-radius lens
+    is the dominant configuration). Other sensor types return valid=False.
+    """
+    A = sensor.to_world
+    cam_pos = A[:3, 3]
+    to_cam = cam_pos - p
+    dist = m.length(to_cam)
+    d = to_cam / jnp.maximum(dist, 1e-12)[..., None]
+
+    # world -> camera rotation (rigid to_world assumed, like the reference)
+    Rw = A[:3, :3]
+    d_cam = (-d) @ Rw  # direction from camera toward p, camera space
+    z = d_cam[..., 2]
+    in_front = z > 1e-6
+    zs = jnp.maximum(z, 1e-6)
+    x_pl = d_cam[..., 0] / zs
+    y_pl = d_cam[..., 1] / zs
+    u = (x_pl / sensor.tan_half_fov + 1.0) * 0.5
+    v = (1.0 - y_pl * sensor.aspect / sensor.tan_half_fov) * 0.5
+    uv = jnp.stack([u, v], axis=-1)
+    inside = (u >= 0.0) & (u < 1.0) & (v >= 0.0) & (v < 1.0)
+
+    cos3 = zs * zs * zs  # z == cos(theta) for unit d_cam
+    imp = m.safe_div(
+        1.0, image_plane_area(sensor) * cos3 * jnp.maximum(dist * dist, 1e-12)
+    )
+    supported = (sensor.type == PERSPECTIVE) | (sensor.type == THINLENS)
+    valid = in_front & inside & supported
+    return SensorSample(d=d, dist=dist, uv=uv,
+                        imp=jnp.where(valid, imp, 0.0), valid=valid)
+
+
 def sample_ray(sensor: Sensor, uv, u_aperture):
     """uv in [0,1)^2 (R, 2) film position; u_aperture (R, 2).
 

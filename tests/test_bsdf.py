@@ -20,7 +20,8 @@ def make_locals(n, **kw):
         type=B.DIFFUSE, dist=mf.GGX, albedo=(0.6, 0.4, 0.25),
         spec_refl=(1.0, 1.0, 1.0), spec_trans=(1.0, 1.0, 1.0),
         eta=(1.5, 1.5, 1.5), k=(0.0, 0.0, 0.0), alpha=(0.3, 0.3),
-        nonlinear=False, twosided=False,
+        nonlinear=False, twosided=False, opacity=1.0, blend_w=0.5,
+        hk_thickness=1.0, hk_g=0.0,
     )
     defaults.update(kw)
     d = defaults
@@ -40,6 +41,10 @@ def make_locals(n, **kw):
         alpha=full(d["alpha"], (n, 2)),
         nonlinear=jnp.full((n,), d["nonlinear"], bool),
         twosided=jnp.full((n,), d["twosided"], bool),
+        opacity=jnp.full((n,), d["opacity"]),
+        blend_w=jnp.full((n,), d["blend_w"]),
+        hk_thickness=jnp.full((n,), d["hk_thickness"]),
+        hk_g=jnp.full((n,), d["hk_g"]),
     )
 
 
@@ -73,6 +78,11 @@ CONFIGS = [
                                 eta=(1.5, 1.5, 1.5), alpha=(0.3, 0.3)), 150.0),
     ("phong_30", dict(type=B.PHONG, alpha=(0.2, 0.2),
                       albedo=(0.3, 0.3, 0.3), spec_refl=(0.4, 0.4, 0.4)), 30.0),
+    ("ward_30", dict(type=B.WARD, alpha=(0.2, 0.4),
+                     albedo=(0.3, 0.3, 0.3), spec_refl=(0.4, 0.4, 0.4)), 30.0),
+    ("difftrans_30", dict(type=B.DIFFTRANS, spec_trans=(0.7, 0.6, 0.5)), 30.0),
+    ("hk_40", dict(type=B.HK, albedo=(0.6, 0.6, 0.6), k=(1.5, 1.5, 1.5),
+                   hk_thickness=0.4, hk_g=0.3), 40.0),
 ]
 
 
@@ -172,3 +182,75 @@ def test_conductor_reflect_exact():
     # reflectance within [0, 1]
     w = np.asarray(bs.weight)
     assert (w >= 0).all() and (w <= 1.0).all()
+
+
+# --- nested materials (mixturebsdf / blendbsdf / coating / mask) -----------
+
+NESTED_A = dict(type=B.DIFFUSE, albedo=(0.6, 0.4, 0.25))
+NESTED_B = dict(type=B.ROUGH_CONDUCTOR, dist=mf.GGX, eta=(0.2, 0.92, 1.1),
+                k=(3.9, 2.45, 2.14), alpha=(0.3, 0.3))
+
+
+@pytest.mark.parametrize(
+    "name,outer,cfg_a,cfg_b,ntypes,theta",
+    [
+        ("mixture", dict(type=B.MIXTURE, blend_w=0.4), NESTED_A, NESTED_B,
+         (B.DIFFUSE, B.ROUGH_CONDUCTOR), 30.0),
+        ("coating", dict(type=B.COATING, eta=(1.5,) * 3, k=(0.08,) * 3),
+         NESTED_A, NESTED_A, (B.DIFFUSE,), 35.0),
+        ("mask", dict(type=B.MASK, opacity=0.7), NESTED_A, NESTED_A,
+         (B.DIFFUSE,), 30.0),
+    ],
+)
+def test_nested_chi2(name, outer, cfg_a, cfg_b, ntypes, theta):
+    """sample()-vs-pdf() agreement for the nested-material layer."""
+    types = (outer["type"],)
+
+    def mk(n):
+        return (make_locals(n, **outer), make_locals(n, **cfg_a),
+                make_locals(n, **cfg_b))
+
+    def sample_fn(n):
+        bl, bla, blb = mk(n)
+        wi = _wi(theta, n)
+        u = rng.uniform4(hash(name) % 1000, jnp.arange(n, dtype=jnp.int32), 0, 0)
+        bs = B.sample(bl, wi, u[..., 0], u[..., 1:3], active_types=types,
+                      nested=(bla, blb, ntypes))
+        ok = (bs.pdf > 0) & ~bs.is_delta
+        return np.where(np.asarray(ok)[:, None], np.asarray(bs.wo), 0.0)
+
+    def pdf_fn(d):
+        n = d.shape[0]
+        bl, bla, blb = mk(n)
+        wi = _wi(theta, n)
+        return B.pdf(bl, wi, d, active_types=types, nested=(bla, blb, ntypes))
+
+    ok, pval, stat, dof, info = chi2_test(
+        sample_fn, pdf_fn, n_samples=N, significance=0.0005
+    )
+    assert ok, f"{name}: {info}"
+
+
+def test_nested_weight_consistency():
+    """f/pdf must equal the sample weight for every nested smooth sample."""
+    n = 100_000
+    for outer, ntypes in [
+        (dict(type=B.MIXTURE, blend_w=0.3), (B.DIFFUSE, B.ROUGH_CONDUCTOR)),
+        (dict(type=B.COATING, eta=(1.5,) * 3, k=(0.05,) * 3), (B.DIFFUSE,)),
+        (dict(type=B.MASK, opacity=0.6), (B.DIFFUSE,)),
+    ]:
+        bl = make_locals(n, **outer)
+        bla = make_locals(n, **NESTED_A)
+        blb = make_locals(n, **NESTED_B)
+        nst = (bla, blb, ntypes)
+        wi = _wi(25.0, n)
+        types = (outer["type"],)
+        u = rng.uniform4(3, jnp.arange(n, dtype=jnp.int32), 0, 0)
+        bs = B.sample(bl, wi, u[..., 0], u[..., 1:3], active_types=types,
+                      nested=nst)
+        f = np.asarray(B.eval(bl, wi, bs.wo, active_types=types, nested=nst))
+        p = np.asarray(B.pdf(bl, wi, bs.wo, active_types=types, nested=nst))
+        sm = np.asarray(~bs.is_delta & (bs.pdf > 1e-6))
+        ratio = f / np.maximum(p, 1e-12)[:, None]
+        err = np.abs(ratio - np.asarray(bs.weight))[sm]
+        assert err.max() < 1e-3, (outer["type"], err.max())
