@@ -171,6 +171,9 @@ _INTEGRATORS = {
     "path": icommon.PATH, "volpath": icommon.VOLPATH,
     "volpath_simple": icommon.VOLPATH, "direct": icommon.DIRECT,
     "ao": icommon.AO, "field": icommon.FIELD,
+    "ptracer": icommon.PTRACER, "vpl": icommon.VPL,
+    "sppm": icommon.SPPM, "ppm": icommon.PPM,
+    "photonmapper": icommon.PHOTONMAPPER,
 }
 
 _SAMPLERS = {
@@ -260,6 +263,10 @@ class XMLSceneLoader:
             bsdf_samples=int(p.get("bsdfSamples", 1)),
             ray_length=float(p.get("rayLength", -1.0)),
             shading_samples=int(p.get("shadingSamples", 1)),
+            photon_count=int(p.get("photonCount", p.get("globalPhotons", 65536))),
+            initial_radius=float(p.get("initialRadius",
+                                       p.get("globalLookupRadius", -1.0))),
+            sppm_alpha=float(p.get("alpha", 0.7)),
         )
 
     def _load_sensor(self, node):

@@ -177,6 +177,77 @@ def render_vpl(scene, static, sensor, cfg: icommon.IntegratorConfig,
     return film_mod.develop(film)
 
 
+def _auto_radius(scene, cfg: icommon.IntegratorConfig) -> float:
+    if cfg.initial_radius > 0:
+        return cfg.initial_radius
+    import numpy as np
+
+    return float(np.asarray(scene.radius)) * 0.012
+
+
+def render_sppm(scene, static, sensor, cfg: icommon.IntegratorConfig,
+                settings: RenderSettings, jitter: bool):
+    """Progressive photon mapping (ppm: fixed gather points / sppm:
+    jittered). ``spp`` counts photon+eye passes."""
+    from .integrators import photon as int_ph
+
+    H, W = settings.height, settings.width
+    seed = jnp.asarray(settings.seed, jnp.int32)
+    rng_mod.set_sampler(rng_mod.INDEPENDENT)
+    r0 = _auto_radius(scene, cfg)
+    state = int_ph.sppm_init(H * W, r0)
+
+    @jax.jit
+    def one_pass(scene_, state_, pass_idx):
+        return int_ph.sppm_pass(scene_, static, cfg, sensor, state_, seed,
+                                pass_idx, cfg.photon_count, W, H, jitter,
+                                cfg.sppm_alpha)
+
+    for s in range(settings.spp):
+        state = one_pass(scene, state, jnp.asarray(s, jnp.int32))
+    return int_ph.sppm_develop(state, W, H)
+
+
+def render_photonmapper(scene, static, sensor, cfg: icommon.IntegratorConfig,
+                        settings: RenderSettings):
+    """Classic photon mapper: one photon map, then spp camera passes with
+    NEE + caustic gather + final gather (photonmapper.cpp)."""
+    from .integrators import photon as int_ph
+
+    H, W = settings.height, settings.width
+    seed = jnp.asarray(settings.seed, jnp.int32)
+    rng_mod.set_sampler(rng_mod.INDEPENDENT)
+    r0 = _auto_radius(scene, cfg)
+    depth = cfg.max_depth if cfg.max_depth > 0 else 16
+
+    @jax.jit
+    def build_map(scene_):
+        pid = jnp.arange(cfg.photon_count, dtype=jnp.int32)
+        pp = int_ph.trace_photons(scene_, static, cfg, seed + 101, pid,
+                                  jnp.asarray(0, jnp.int32), depth)
+        return int_ph.build_photon_map(*pp, cell_size=r0)
+
+    pm = build_map(scene)
+
+    @jax.jit
+    def one_pass(scene_, pm_, film, sample_idx):
+        pixel_idx = jnp.arange(H * W, dtype=jnp.int32)
+        pos = pixel_sample_positions(settings, pixel_idx, sample_idx, seed)
+        uv = pos / jnp.asarray([W, H], jnp.float32)
+        u_ap = rng_mod.uniform2(seed, pixel_idx, sample_idx, icommon.DIM_APERTURE)
+        o, d = sensor_mod.sample_ray(sensor, uv, u_ap)
+        L = int_ph.photonmapper_li(
+            scene_, static, cfg, pm_, float(cfg.photon_count), o, d,
+            seed, pixel_idx, sample_idx, r0,
+        )
+        return film_mod.splat_aligned(film, L.reshape(H, W, 3))
+
+    film = film_mod.Film.empty(H, W)
+    for s in range(settings.spp):
+        film = one_pass(scene, pm, film, jnp.asarray(s, jnp.int32))
+    return film_mod.develop(film)
+
+
 def render(scene, static, sensor, cfg: icommon.IntegratorConfig,
            settings: RenderSettings):
     """Full render: jit-compiled sample passes, host loop over spp chunks.
@@ -187,6 +258,12 @@ def render(scene, static, sensor, cfg: icommon.IntegratorConfig,
         return render_light_traced(scene, static, sensor, cfg, settings)
     if cfg.type == icommon.VPL:
         return render_vpl(scene, static, sensor, cfg, settings)
+    if cfg.type == icommon.SPPM:
+        return render_sppm(scene, static, sensor, cfg, settings, jitter=True)
+    if cfg.type == icommon.PPM:
+        return render_sppm(scene, static, sensor, cfg, settings, jitter=False)
+    if cfg.type == icommon.PHOTONMAPPER:
+        return render_photonmapper(scene, static, sensor, cfg, settings)
     H, W = settings.height, settings.width
     chunk = min(settings.spp_per_pass, settings.spp)
 

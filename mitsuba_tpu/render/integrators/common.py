@@ -22,6 +22,8 @@ MULTICHANNEL = 9
 MOTION = 10
 BDPT = 11
 PSSMLT = 12
+PPM = 13
+PHOTONMAPPER = 14
 
 # field integrator AOVs (misc/field.cpp)
 FIELD_POSITION = 0
@@ -54,6 +56,10 @@ class IntegratorConfig:
     # vpl.cpp
     vpl_count: int = 64          # light-walk count (shadowMapResolution analog n/a)
     vpl_clamp: float = 0.05      # relative min-distance bound (vpl.cpp clamping)
+    # photonmapper.cpp / ppm.cpp / sppm.cpp
+    photon_count: int = 65536    # photons emitted per pass
+    initial_radius: float = -1.0  # gather radius (<0: auto from scene extent)
+    sppm_alpha: float = 0.7      # radius-shrink exponent (sppm.cpp alpha)
 
 
 def mis_power(pdf_a, pdf_b):
