@@ -173,7 +173,7 @@ _INTEGRATORS = {
     "ao": icommon.AO, "field": icommon.FIELD,
     "ptracer": icommon.PTRACER, "vpl": icommon.VPL,
     "sppm": icommon.SPPM, "ppm": icommon.PPM,
-    "photonmapper": icommon.PHOTONMAPPER,
+    "photonmapper": icommon.PHOTONMAPPER, "bdpt": icommon.BDPT,
 }
 
 _SAMPLERS = {

@@ -248,12 +248,52 @@ def render_photonmapper(scene, static, sensor, cfg: icommon.IntegratorConfig,
     return film_mod.develop(film)
 
 
+def render_bdpt(scene, static, sensor, cfg: icommon.IntegratorConfig,
+                settings: RenderSettings):
+    """Bidirectional render: per-pass eye+light subpaths for every pixel
+    lane; t>=1 strategies land on the lane's pixel, t=0 strategies
+    scatter-add into the shared light image (bdpt_wr.cpp merge)."""
+    from .integrators import bdpt as int_bdpt
+
+    H, W = settings.height, settings.width
+    seed = jnp.asarray(settings.seed, jnp.int32)
+    rng_mod.set_sampler(rng_mod.INDEPENDENT)
+
+    @jax.jit
+    def one_pass(scene_, film_data, sample_idx):
+        pixel_idx = jnp.arange(H * W, dtype=jnp.int32)
+        pos = pixel_sample_positions(settings, pixel_idx, sample_idx, seed)
+        uv = pos / jnp.asarray([W, H], jnp.float32)
+        u_ap = rng_mod.uniform2(seed, pixel_idx, sample_idx, icommon.DIM_APERTURE)
+        o, d = sensor_mod.sample_ray(sensor, uv, u_ap)
+        L, sp_uv, sp_val = int_bdpt.li_and_splats(
+            scene_, static, cfg, sensor, o, d, seed, pixel_idx, sample_idx)
+        film_data = film_data.at[:, :, :3].add(L.reshape(H, W, 3))
+        # light image: box splat of every t=0 strategy (scale 1: one light
+        # subpath per pixel lane per pass)
+        Sn = sp_uv.shape[0]
+        if Sn:
+            px = jnp.clip((sp_uv[..., 0] * W).astype(jnp.int32), 0, W - 1)
+            py = jnp.clip((sp_uv[..., 1] * H).astype(jnp.int32), 0, H - 1)
+            ok = (sp_uv[..., 0] >= 0).astype(jnp.float32)[..., None]
+            film_data = film_data.at[py.reshape(-1), px.reshape(-1), :3].add(
+                (sp_val * ok).reshape(-1, 3), mode="drop")
+        return film_data
+
+    film_data = jnp.zeros((H, W, 4))
+    for s_i in range(settings.spp):
+        film_data = one_pass(scene, film_data, jnp.asarray(s_i, jnp.int32))
+    return film_data[..., :3] / float(settings.spp)
+
+
 def render(scene, static, sensor, cfg: icommon.IntegratorConfig,
            settings: RenderSettings):
     """Full render: jit-compiled sample passes, host loop over spp chunks.
 
     Returns the developed (H, W, 3) image.
     """
+    if cfg.type == icommon.BDPT:
+        return render_bdpt(scene, static, sensor, cfg, settings)
     if cfg.type == icommon.PTRACER:
         return render_light_traced(scene, static, sensor, cfg, settings)
     if cfg.type == icommon.VPL:

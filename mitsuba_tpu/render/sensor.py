@@ -173,6 +173,26 @@ def sample_direct(sensor: Sensor, p):
                         imp=jnp.where(valid, imp, 0.0), valid=valid)
 
 
+def pdf_ray_direction(sensor: Sensor, d_world):
+    """Solid-angle pdf of a camera ray leaving in direction ``d_world``
+    under uniform film-position sampling: 1 / (A_plane * cos^3 theta)
+    (perspective importance, perspective.cpp pdfDirection). Zero outside
+    the frustum."""
+    A = sensor.to_world
+    Rw = A[:3, :3]
+    d_cam = d_world @ Rw
+    z = d_cam[..., 2]
+    in_front = z > 1e-6
+    zs = jnp.maximum(z, 1e-6)
+    x_pl = d_cam[..., 0] / zs
+    y_pl = d_cam[..., 1] / zs
+    u = (x_pl / sensor.tan_half_fov + 1.0) * 0.5
+    v = (1.0 - y_pl * sensor.aspect / sensor.tan_half_fov) * 0.5
+    inside = (u >= 0.0) & (u < 1.0) & (v >= 0.0) & (v < 1.0)
+    pdf = m.safe_div(1.0, image_plane_area(sensor) * zs * zs * zs)
+    return jnp.where(in_front & inside, pdf, 0.0)
+
+
 def sample_ray(sensor: Sensor, uv, u_aperture):
     """uv in [0,1)^2 (R, 2) film position; u_aperture (R, 2).
 

@@ -1,0 +1,93 @@
+"""BDPT cross-integrator agreement (reference validation strategy:
+unidirectional vs bidirectional must agree, SURVEY §4 tier 2 /
+data/tests/test_bidir_*.xml)."""
+import numpy as np
+import pytest
+
+from mitsuba_tpu.core.transform import Transform
+from mitsuba_tpu.render import api, rfilter, sensor as sensor_mod, shapes
+from mitsuba_tpu.render import bsdf as B
+from mitsuba_tpu.render.integrators.common import IntegratorConfig, PATH, BDPT
+from mitsuba_tpu.render.scene import SceneBuilder
+
+
+def _cornell(with_specular=False):
+    b = SceneBuilder()
+    shapes.cornell_box(b)
+    if with_specular:
+        glass = b.add_material(type=B.DIELECTRIC, eta=1.5)
+        b.add_sphere([0.3, 0.5, 0.4], 0.12, glass)
+    scene, static = b.build()
+    cam = Transform.look_at([0.5, 0.5, -1.39], [0.5, 0.5, 0.5], [0, 1, 0])
+    W = H = 20
+    sens = sensor_mod.make_perspective(cam, 39.0, W, H)
+    return scene, static, sens, W, H
+
+
+@pytest.mark.parametrize("max_depth", [2, 3, 5])
+def test_bdpt_matches_path_diffuse(max_depth):
+    scene, static, sens, W, H = _cornell()
+    ref = np.asarray(api.render(
+        scene, static, sens, IntegratorConfig(type=PATH, max_depth=max_depth),
+        api.RenderSettings(width=W, height=H, spp=192, spp_per_pass=48,
+                           filter_type=rfilter.BOX)))
+    img = np.asarray(api.render(
+        scene, static, sens, IntegratorConfig(type=BDPT, max_depth=max_depth),
+        api.RenderSettings(width=W, height=H, spp=48)))
+    assert np.isfinite(img).all()
+    rel = abs(img.mean() - ref.mean()) / ref.mean()
+    assert rel < 0.04, f"bdpt depth {max_depth} off by {rel:.4f}"
+
+
+def test_bdpt_specular_scene():
+    """Glass sphere: delta-vertex gating in the MIS walk + caustic-capable
+    strategies (the path reference itself is noisy on caustics — loose)."""
+    scene, static, sens, W, H = _cornell(with_specular=True)
+    ref = np.asarray(api.render(
+        scene, static, sens, IntegratorConfig(type=PATH, max_depth=5),
+        api.RenderSettings(width=W, height=H, spp=384, spp_per_pass=48,
+                           filter_type=rfilter.BOX)))
+    img = np.asarray(api.render(
+        scene, static, sens, IntegratorConfig(type=BDPT, max_depth=5),
+        api.RenderSettings(width=W, height=H, spp=64)))
+    assert np.isfinite(img).all()
+    rel = abs(img.mean() - ref.mean()) / ref.mean()
+    assert rel < 0.08, f"bdpt specular off by {rel:.4f}"
+
+
+def test_bdpt_subpath_pdfs_consistent():
+    """Forward pdfs along the eye subpath must match an independent
+    solid-angle->area conversion on the stored geometry (vertex.cpp
+    evalPdf semantics)."""
+    import jax.numpy as jnp
+    from mitsuba_tpu.core import rng as rng_mod
+    from mitsuba_tpu.render.integrators import bdpt as int_bdpt
+
+    scene, static, sens, W, H = _cornell()
+    cfg = IntegratorConfig(type=BDPT, max_depth=4)
+    R = 64
+    rng_mod.set_sampler(rng_mod.INDEPENDENT)
+    pix = jnp.arange(R, dtype=jnp.int32)
+    uv = jnp.stack([(pix % W).astype(jnp.float32) + 0.5,
+                    (pix // W).astype(jnp.float32) + 0.5], -1) / \
+        jnp.asarray([W, H], jnp.float32)
+    o, d = sensor_mod.sample_ray(sens, uv, jnp.zeros((R, 2)))
+    eye, light = int_bdpt.generate_subpaths(
+        scene, static, cfg, sens, o, d, jnp.asarray(0, jnp.int32), pix,
+        jnp.asarray(0, jnp.int32), 4, 4)
+    eyev = {k: np.asarray(v) for k, v in eye._asdict().items()}
+    # vertex 0 pdf: camera direction pdf * cos/d^2
+    from mitsuba_tpu.render.sensor import pdf_ray_direction
+    pdf_cam = np.asarray(pdf_ray_direction(sens, d))
+    dvec = eyev["p"][0] - np.asarray(o)
+    d2 = (dvec ** 2).sum(-1)
+    cos_t = np.abs((eyev["gn"][0] * np.asarray(-d)).sum(-1))
+    want = pdf_cam * cos_t / np.maximum(d2, 1e-12)
+    got = eyev["pdf_fwd"][0]
+    ok = eyev["valid"][0]
+    np.testing.assert_allclose(got[ok], want[ok], rtol=1e-4)
+    # light subpath row 0 is a valid emitter vertex with the NEE area pdf
+    lv = {k: np.asarray(v) for k, v in light._asdict().items()}
+    assert lv["valid"][0].any()
+    assert (lv["pdf_fwd"][0][lv["valid"][0]] > 0).all()
+    assert (lv["beta"][0][lv["valid"][0]] > 0).any()
