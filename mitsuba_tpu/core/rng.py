@@ -58,6 +58,40 @@ HALTON = 3
 
 _SAMPLER_TYPE = INDEPENDENT
 
+# --- primary-sample-space override (MLT family) -----------------------------
+# When set (to a traced (R, NSLOTS, 4) float32 table), every uniform* draw
+# returns table[pixel, dim] instead of hashing — the caller passes the chain
+# lane index as `pixel`. This is how the Kelemen-style integrators
+# (pssmlt/mlt/erpt) drive the ordinary path/bdpt kernels from a mutable
+# primary sample vector (reference: pssmlt_sampler.cpp's lazy PSSMLTSampler
+# wrapping every next1D/2D call). Set/reset inside the traced function body,
+# so the global holds a tracer only during tracing.
+_PSS_TABLE = None
+
+
+class pss_mode:
+    """Context manager routing RNG draws to a PSS table during tracing."""
+
+    def __init__(self, table):
+        self.table = table
+
+    def __enter__(self):
+        global _PSS_TABLE
+        self._saved = _PSS_TABLE
+        _PSS_TABLE = self.table
+
+    def __exit__(self, *exc):
+        global _PSS_TABLE
+        _PSS_TABLE = self._saved
+        return False
+
+
+def _pss_lookup(pixel, dim):
+    tab = _PSS_TABLE
+    pixel_b, dim_b = jnp.broadcast_arrays(jnp.asarray(pixel), jnp.asarray(dim))
+    d = jnp.clip(dim_b.astype(jnp.int32), 0, tab.shape[1] - 1)
+    return tab[pixel_b.astype(jnp.int32), d]
+
 
 def set_sampler(t: int) -> None:
     global _SAMPLER_TYPE
@@ -101,6 +135,8 @@ def uniform4(seed, pixel, sample, dim):
     All arguments are int32/uint32 arrays (broadcastable); returns
     ``broadcast_shape + (4,)`` float32.
     """
+    if _PSS_TABLE is not None:
+        return _pss_lookup(pixel, dim)
     seed, pixel, sample, dim = jnp.broadcast_arrays(
         jnp.asarray(seed), jnp.asarray(pixel), jnp.asarray(sample), jnp.asarray(dim)
     )
@@ -125,12 +161,16 @@ def uniform4(seed, pixel, sample, dim):
 
 
 def uniform1(seed, pixel, sample, dim):
+    if _PSS_TABLE is not None:
+        return _pss_lookup(pixel, dim)[..., 0]
     if _SAMPLER_TYPE in (LD, HALTON):
         return _qmc2(seed, pixel, sample, dim)[..., 0]
     return uniform4(seed, pixel, sample, dim)[..., 0]
 
 
 def uniform2(seed, pixel, sample, dim):
+    if _PSS_TABLE is not None:
+        return _pss_lookup(pixel, dim)[..., :2]
     if _SAMPLER_TYPE in (LD, HALTON):
         return _qmc2(seed, pixel, sample, dim)
     return uniform4(seed, pixel, sample, dim)[..., :2]

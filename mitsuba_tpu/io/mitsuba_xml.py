@@ -174,6 +174,9 @@ _INTEGRATORS = {
     "ptracer": icommon.PTRACER, "vpl": icommon.VPL,
     "sppm": icommon.SPPM, "ppm": icommon.PPM,
     "photonmapper": icommon.PHOTONMAPPER, "bdpt": icommon.BDPT,
+    "pssmlt": icommon.PSSMLT, "mlt": icommon.MLT, "erpt": icommon.ERPT,
+    "adaptive": icommon.ADAPTIVE, "multichannel": icommon.MULTICHANNEL,
+    "irrcache": icommon.IRRCACHE,
 }
 
 _SAMPLERS = {
@@ -267,7 +270,23 @@ class XMLSceneLoader:
             initial_radius=float(p.get("initialRadius",
                                        p.get("globalLookupRadius", -1.0))),
             sppm_alpha=float(p.get("alpha", 0.7)),
+            p_large=float(p.get("pLarge", 0.3)),
+            luminance_samples=int(p.get("luminanceSamples", 65536)),
+            chain_length=int(p.get("chainLength", 64)),
+            max_error=float(p.get("maxError", 0.05)),
+            p_value=float(p.get("pValue", 0.05)),
+            max_sample_factor=int(p.get("maxSampleFactor", 32)),
         )
+        # adaptive/irrcache/multichannel wrap a nested integrator in the
+        # reference (misc/adaptive.cpp); adopt the nested type's algorithm
+        nested = node.find("integrator")
+        if nested is not None and self.integrator.type in (
+                icommon.ADAPTIVE, icommon.IRRCACHE, icommon.MULTICHANNEL):
+            outer = self.integrator.type
+            self._load_integrator(nested)
+            if outer == icommon.ADAPTIVE:
+                from dataclasses import replace
+                self.integrator = replace(self.integrator, type=icommon.ADAPTIVE)
 
     def _load_sensor(self, node):
         t = node.get("type")

@@ -286,12 +286,158 @@ def render_bdpt(scene, static, sensor, cfg: icommon.IntegratorConfig,
     return film_data[..., :3] / float(settings.spp)
 
 
+def render_mlt(scene, static, sensor, cfg: icommon.IntegratorConfig,
+               settings: RenderSettings):
+    """pssmlt / mlt render: chains-in-lanes Metropolis (integrators/mlt.py).
+
+    Mutation budget = spp * n_pixels, split across cfg.chain_count chains.
+    Image = film_sum * b * n_pixels / N_mutations (Veach normalization).
+    """
+    from .integrators import mlt as int_mlt
+
+    H, W = settings.height, settings.width
+    n_pixels = H * W
+    seed = int(settings.seed)
+    rng_mod.set_sampler(rng_mod.INDEPENDENT)
+    n_chains = min(cfg.chain_count, max(1024, n_pixels))
+    total_mut = settings.spp * n_pixels
+    n_passes = max(1, (total_mut + n_chains - 1) // n_chains)
+    steps_per_call = min(16, n_passes)
+    mlt_mode = cfg.type == icommon.MLT
+
+    b = jax.jit(
+        lambda sc: int_mlt.estimate_b(sc, static, sensor, cfg, W, H, seed,
+                                      cfg.luminance_samples)
+    )(scene)
+
+    st = jax.jit(
+        lambda sc: int_mlt.seed_chains(sc, static, sensor, cfg, W, H, seed,
+                                       n_chains)
+    )(scene)
+
+    @partial(jax.jit, static_argnums=(4,))
+    def steps(sc, st_, film, step_base, n):
+        return int_mlt.chain_steps(sc, static, sensor, cfg, W, H, seed,
+                                   st_, film, step_base, n,
+                                   mlt_mode=mlt_mode)
+
+    film = jnp.zeros((H, W, 3))
+    done = 0
+    while done < n_passes:
+        n = min(steps_per_call, n_passes - done)
+        st, film = steps(scene, st, film, jnp.asarray(done, jnp.int32), n)
+        done += n
+    N = n_passes * n_chains
+    return film * (b * n_pixels / N)
+
+
+def render_erpt(scene, static, sensor, cfg: icommon.IntegratorConfig,
+                settings: RenderSettings):
+    """ERPT render: spp passes of n_pixels seed paths, each redistributed
+    over a chain_length Metropolis chain (integrators/mlt.py erpt_pass)."""
+    from .integrators import mlt as int_mlt
+
+    H, W = settings.height, settings.width
+    n_pixels = H * W
+    seed = int(settings.seed)
+    rng_mod.set_sampler(rng_mod.INDEPENDENT)
+    n_seeds = min(n_pixels, 65536)
+
+    @jax.jit
+    def one_pass(sc, film, pass_idx):
+        return int_mlt.erpt_pass(sc, static, sensor, cfg, W, H, seed, film,
+                                 pass_idx, n_seeds, cfg.chain_length)
+
+    total_seeds = 0
+    film = jnp.zeros((H, W, 3))
+    for p in range(max(1, settings.spp * n_pixels // n_seeds)):
+        film = one_pass(scene, film, jnp.asarray(p, jnp.int32))
+        total_seeds += n_seeds
+    return film * (n_pixels / total_seeds)
+
+
+def render_adaptive(scene, static, sensor, cfg: icommon.IntegratorConfig,
+                    settings: RenderSettings):
+    """Adaptive sampling with a Student's-t relative-error stopping rule
+    (misc/adaptive.cpp: stop a pixel once t_q * sqrt(var/n) < maxError *
+    mean, budget-capped at max_sample_factor * base spp).
+
+    TPU-native shape: every pass still traces all pixel lanes in lock-step
+    (SPMD lanes are free relative to divergence bookkeeping); converged
+    pixels simply stop accumulating. Per-pixel Welford mean/M2 of luminance
+    drives the stopping test.
+    """
+    H, W = settings.height, settings.width
+    seed = jnp.asarray(settings.seed, jnp.int32)
+    base_cfg = IntegratorConfig_replace(cfg, type=icommon.PATH)
+    li = _li_fn(base_cfg)
+    rng_mod.set_sampler(rng_mod.INDEPENDENT)
+    # two-sided normal quantile approx of the Student's-t threshold
+    # (adaptive.cpp uses boost's quantile; n is large once testing starts)
+    quantiles = {0.01: 2.576, 0.05: 1.960, 0.1: 1.645}
+    t_q = quantiles.get(round(cfg.p_value, 2), 1.960)
+
+    @jax.jit
+    def one_pass(scene_, acc, mean, m2, n, active, sample_idx):
+        pixel_idx = jnp.arange(H * W, dtype=jnp.int32)
+        pos = pixel_sample_positions(settings, pixel_idx, sample_idx, seed)
+        uv = pos / jnp.asarray([W, H], jnp.float32)
+        u_ap = rng_mod.uniform2(seed, pixel_idx, sample_idx, icommon.DIM_APERTURE)
+        o, d = sensor_mod.sample_ray(sensor, uv, u_ap)
+        L = li(scene_, static, base_cfg, o, d, seed, pixel_idx, sample_idx)
+        lum = 0.212671 * L[:, 0] + 0.715160 * L[:, 1] + 0.072169 * L[:, 2]
+        n2 = jnp.where(active, n + 1.0, n)
+        delta = lum - mean
+        mean2 = jnp.where(active, mean + delta / jnp.maximum(n2, 1.0), mean)
+        m2_new = jnp.where(active, m2 + delta * (lum - mean2), m2)
+        acc2 = jnp.where(active[:, None], acc + L, acc)
+        return acc2, mean2, m2_new, n2
+
+    acc = jnp.zeros((H * W, 3))
+    mean = jnp.zeros(H * W)
+    m2 = jnp.zeros(H * W)
+    n = jnp.zeros(H * W)
+    active = jnp.ones(H * W, bool)
+    max_spp = settings.spp * max(1, cfg.max_sample_factor)
+    for s in range(max_spp):
+        acc, mean, m2, n = one_pass(scene, acc, mean, m2, n, active,
+                                    jnp.asarray(s, jnp.int32))
+        if s + 1 >= settings.spp:
+            var = m2 / jnp.maximum(n - 1.0, 1.0)
+            err = t_q * jnp.sqrt(var / jnp.maximum(n, 1.0))
+            active = err > cfg.max_error * jnp.maximum(mean, 1e-6)
+            if not bool(jnp.any(active)):
+                break
+    img = acc / jnp.maximum(n, 1.0)[:, None]
+    return img.reshape(H, W, 3)
+
+
+def IntegratorConfig_replace(cfg, **kw):
+    from dataclasses import replace
+    return replace(cfg, **kw)
+
+
+def render_multichannel(scene, static, sensor,
+                        cfgs, settings: RenderSettings):
+    """multichannel integrator (misc/multichannel.cpp): render several
+    sub-integrators into one stacked (H, W, C) array — channel groups are
+    concatenated in order, 3 channels per sub-integrator."""
+    imgs = [render(scene, static, sensor, c, settings) for c in cfgs]
+    return jnp.concatenate(imgs, axis=-1)
+
+
 def render(scene, static, sensor, cfg: icommon.IntegratorConfig,
            settings: RenderSettings):
     """Full render: jit-compiled sample passes, host loop over spp chunks.
 
     Returns the developed (H, W, 3) image.
     """
+    if cfg.type == icommon.ADAPTIVE:
+        return render_adaptive(scene, static, sensor, cfg, settings)
+    if cfg.type in (icommon.PSSMLT, icommon.MLT):
+        return render_mlt(scene, static, sensor, cfg, settings)
+    if cfg.type == icommon.ERPT:
+        return render_erpt(scene, static, sensor, cfg, settings)
     if cfg.type == icommon.BDPT:
         return render_bdpt(scene, static, sensor, cfg, settings)
     if cfg.type == icommon.PTRACER:

@@ -24,6 +24,9 @@ BDPT = 11
 PSSMLT = 12
 PPM = 13
 PHOTONMAPPER = 14
+MLT = 15
+ERPT = 16
+IRRCACHE = 17
 
 # field integrator AOVs (misc/field.cpp)
 FIELD_POSITION = 0
@@ -60,6 +63,15 @@ class IntegratorConfig:
     photon_count: int = 65536    # photons emitted per pass
     initial_radius: float = -1.0  # gather radius (<0: auto from scene extent)
     sppm_alpha: float = 0.7      # radius-shrink exponent (sppm.cpp alpha)
+    # pssmlt.cpp / mlt.cpp / erpt.cpp
+    p_large: float = 0.3         # large-step probability (pssmlt.cpp pLarge)
+    chain_count: int = 16384     # Markov chains in flight (lanes; ref: 1/worker)
+    luminance_samples: int = 65536  # stage-1 normalization samples
+    chain_length: int = 64       # erpt mutations per seed (numChains analog)
+    # misc/adaptive.cpp
+    max_error: float = 0.05      # relative error bound (adaptive.cpp maxError)
+    p_value: float = 0.05        # Student's-t confidence (adaptive.cpp pValue)
+    max_sample_factor: int = 32  # budget cap x base spp (maxSampleFactor)
 
 
 def mis_power(pdf_a, pdf_b):

@@ -1,0 +1,274 @@
+"""Metropolis light transport family: pssmlt / mlt / erpt.
+
+Reference parity:
+- `pssmlt` (src/integrators/pssmlt/pssmlt.cpp:26, pssmlt_sampler.cpp):
+  Kelemen primary-sample-space MLT — a Markov chain over the unit hypercube
+  of path-tracer random numbers, with symmetric small-step mutations
+  (pssmlt_sampler.cpp mutate1D constants s1=1/1024, s2=1/64) and
+  large-step restarts with probability pLarge (pssmlt.cpp:202), two-stage
+  luminance normalization (pssmlt.cpp:297-311), and expected-value splatting
+  of both current and proposed states (pssmlt_proc.cpp:140).
+- `mlt` (src/integrators/mlt/mlt.cpp:25): Veach path-space MLT with a
+  portfolio of mutation strategies (bidirectional mutation + lens / caustic /
+  multi-chain perturbations, libbidir mut_*.cpp). The TPU build realizes the
+  same portfolio *in primary sample space*: each strategy perturbs a
+  structured subset of the PSS coordinates (lens -> sensor dims, caustic ->
+  final-bounce dims, multi-chain -> all bounce dims), which induces the
+  corresponding path-space perturbation through the deterministic sampler
+  map. All kernels are symmetric, so the Metropolis acceptance stays
+  min(1, I'/I).
+- `erpt` (src/integrators/erpt/erpt.cpp:27): energy redistribution path
+  tracing — ordinary path-traced seed samples, each spawning a short
+  equal-deposition Metropolis chain that redistributes the seed's energy
+  over image space.
+
+TPU-native design: the reference runs one chain per worker thread
+(pssmlt_proc.cpp); here a chain occupies a *lane* and thousands of chains
+advance in lock-step through the ordinary wavefront `path.li` kernel, driven
+by a (chains, slots, 4) PSS table via `rng.pss_mode`. Proposal, evaluation,
+acceptance, and film splatting are all batched; the film is a scatter-add
+target exactly like the BDPT light image.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ...core import math as m
+from ...core import rng as rng_mod
+from .. import sensor as sensor_mod
+from . import common as icommon
+from . import path as int_path
+
+# Kelemen mutation-size constants (pssmlt_sampler.cpp)
+_S1 = 1.0 / 1024.0
+_S2 = 1.0 / 64.0
+
+# mlt strategy tags (mlt.cpp strategy portfolio)
+STRAT_BIDIR = 0   # large restart (bidirectional mutation role)
+STRAT_LENS = 1    # perturb sensor/aperture dims only (mut_lens.cpp role)
+STRAT_CAUSTIC = 2  # perturb the last two bounce slots (mut_caustic.cpp role)
+STRAT_MCHAIN = 3  # perturb all bounce dims, keep the pixel (mut_mchain.cpp)
+
+
+def n_slots(cfg: icommon.IntegratorConfig) -> int:
+    depth = cfg.max_depth if cfg.max_depth > 0 else 16
+    return icommon.DIM_BASE + depth * icommon.DIMS_PER_BOUNCE
+
+
+def fresh_table(seed, lane, step, nslots):
+    """Independent uniforms for a full PSS table (large step)."""
+    return rng_mod.uniform4(
+        seed, lane[:, None], step, jnp.arange(nslots, dtype=jnp.int32)[None, :]
+    )
+
+
+def luminance(L):
+    return 0.212671 * L[..., 0] + 0.715160 * L[..., 1] + 0.072169 * L[..., 2]
+
+
+def eval_target(scene, static, sensor, cfg, width, height, u):
+    """Path contribution of PSS vector u: returns (L, I, film pos)."""
+    R = u.shape[0]
+    lane = jnp.arange(R, dtype=jnp.int32)
+    zero = jnp.zeros((), jnp.int32)
+    with rng_mod.pss_mode(u):
+        uv = u[:, icommon.DIM_SENSOR, :2]
+        u_ap = u[:, icommon.DIM_APERTURE, :2]
+        o, d = sensor_mod.sample_ray(sensor, uv, u_ap)
+        L = int_path.li(scene, static, cfg, o, d, zero, lane, zero)
+    pos = uv * jnp.asarray([width, height], jnp.float32)
+    return L, luminance(L), pos
+
+
+def small_step(u, r):
+    """Symmetric Kelemen mutation of every PSS component.
+
+    r: uniforms of u's shape. Magnitude log-uniform in (s1, s2], sign from
+    the same draw (pssmlt_sampler.cpp mutate1D).
+    """
+    add = r < 0.5
+    t = jnp.where(add, 2.0 * r, 2.0 * (r - 0.5))
+    dv = _S2 * jnp.exp(-jnp.log(_S2 / _S1) * t)
+    v = jnp.where(add, u + dv, u - dv)
+    return v - jnp.floor(v)  # wrap to [0,1)
+
+
+def _slot_mask(nslots, strategy):
+    """(nslots,) bool masks per mlt strategy; broadcast over components."""
+    slots = jnp.arange(nslots)
+    sensor_slots = slots < icommon.DIM_BASE
+    bounce_slots = ~sensor_slots
+    last2 = slots >= (nslots - 2 * icommon.DIMS_PER_BOUNCE)
+    lens = sensor_slots
+    caustic = sensor_slots | (bounce_slots & last2)
+    mchain = bounce_slots
+    table = jnp.stack([jnp.ones_like(lens), lens, caustic, mchain])  # [4, S]
+    return table[strategy]
+
+
+class ChainState(NamedTuple):
+    u: jnp.ndarray      # (R, S, 4) current PSS tables
+    L: jnp.ndarray      # (R, 3) current contributions
+    I: jnp.ndarray      # (R,) current luminances
+    pos: jnp.ndarray    # (R, 2) current film positions
+
+
+def splat_box(film, pos, val, width, height):
+    px = jnp.clip(pos[..., 0].astype(jnp.int32), 0, width - 1)
+    py = jnp.clip(pos[..., 1].astype(jnp.int32), 0, height - 1)
+    return film.at[py, px].add(val, mode="drop")
+
+
+def seed_chains(scene, static, sensor, cfg, width, height, seed, n_chains,
+                rounds: int = 4):
+    """Luminance-proportional chain seeding (the reference draws seeds from
+    a luminance CDF over candidate samples, pssmlt_proc.cpp / mlt_proc.cpp);
+    here each lane reservoir-samples among `rounds` fresh candidates with
+    probability proportional to luminance."""
+    nslots = n_slots(cfg)
+    lane = jnp.arange(n_chains, dtype=jnp.int32)
+
+    def body(k, carry):
+        st, wsum = carry
+        u = fresh_table(seed + 7919, lane, k, nslots)
+        L, I, pos = eval_target(scene, static, sensor, cfg, width, height, u)
+        wsum_new = wsum + I
+        r = rng_mod.uniform1(seed + 104729, lane, k, 0)
+        take = (r * wsum_new < I) | (wsum <= 0)
+        take_c = take[:, None]
+        st2 = ChainState(
+            u=jnp.where(take[:, None, None], u, st.u),
+            L=jnp.where(take_c, L, st.L),
+            I=jnp.where(take, I, st.I),
+            pos=jnp.where(take_c, pos, st.pos),
+        )
+        return st2, wsum_new
+
+    init = ChainState(
+        u=jnp.zeros((n_chains, nslots, 4)),
+        L=jnp.zeros((n_chains, 3)),
+        I=jnp.zeros((n_chains,)),
+        pos=jnp.zeros((n_chains, 2)),
+    )
+    st, _ = jax.lax.fori_loop(0, rounds, body, (init, jnp.zeros(n_chains)))
+    return st
+
+
+def chain_steps(scene, static, sensor, cfg, width, height, seed,
+                st: ChainState, film, step_base, n_steps: int,
+                mlt_mode: bool = False):
+    """Advance every chain by n_steps mutations, splatting into film.
+
+    Splats carry weight C/I per state, expectation-weighted between current
+    and proposed (Veach expected-value technique, pssmlt_proc.cpp:140).
+    Returns (state, film) — film accumulates sum over mutations of
+    (a * C'/I' + (1-a) * C/I); the caller scales by b * n_pixels / N.
+    """
+    R = st.u.shape[0]
+    nslots = st.u.shape[1]
+    lane = jnp.arange(R, dtype=jnp.int32)
+
+    def body(k, carry):
+        st, film = carry
+        step = step_base + k
+        r_sel = rng_mod.uniform4(seed + 15485863, lane, step, 0)
+        r_mut = fresh_table(seed + 32452843, lane, step, nslots)
+        u_fresh = fresh_table(seed, lane, step, nslots)
+
+        if mlt_mode:
+            # strategy portfolio: bidir restart 25%, lens 25%, caustic 25%,
+            # multi-chain 25% (mlt.cpp defaults enable all four)
+            strat = jnp.minimum((r_sel[:, 0] * 4).astype(jnp.int32), 3)
+            mask = _slot_mask(nslots, strat)[:, :, None]
+            u_small = jnp.where(mask, small_step(st.u, r_mut), st.u)
+            large = strat == STRAT_BIDIR
+        else:
+            large = r_sel[:, 0] < cfg.p_large
+            u_small = small_step(st.u, r_mut)
+
+        u_prop = jnp.where(large[:, None, None], u_fresh, u_small)
+        L2, I2, pos2 = eval_target(scene, static, sensor, cfg, width, height,
+                                   u_prop)
+
+        a = jnp.where(st.I > 0, jnp.minimum(1.0, m.safe_div(I2, st.I)), 1.0)
+        w_prop = jnp.where(I2 > 0, a / jnp.maximum(I2, 1e-20), 0.0)
+        w_cur = jnp.where(st.I > 0, (1.0 - a) / jnp.maximum(st.I, 1e-20), 0.0)
+        film = splat_box(film, st.pos, st.L * w_cur[:, None], width, height)
+        film = splat_box(film, pos2, L2 * w_prop[:, None], width, height)
+
+        accept = r_sel[:, 1] < a
+        st2 = ChainState(
+            u=jnp.where(accept[:, None, None], u_prop, st.u),
+            L=jnp.where(accept[:, None], L2, st.L),
+            I=jnp.where(accept, I2, st.I),
+            pos=jnp.where(accept[:, None], pos2, st.pos),
+        )
+        return st2, film
+
+    return jax.lax.fori_loop(0, n_steps, body, (st, film))
+
+
+def estimate_b(scene, static, sensor, cfg, width, height, seed,
+               n_samples: int, lanes: int = 8192):
+    """Stage-1 normalization: b = E_uniform[I(u)] (pssmlt.cpp:297-311)."""
+    nslots = n_slots(cfg)
+    lane = jnp.arange(lanes, dtype=jnp.int32)
+    rounds = max(1, n_samples // lanes)
+
+    def body(k, acc):
+        u = fresh_table(seed + 49979687, lane, k, nslots)
+        _, I, _ = eval_target(scene, static, sensor, cfg, width, height, u)
+        return acc + jnp.sum(I)
+
+    total = jax.lax.fori_loop(0, rounds, body, jnp.zeros(()))
+    return total / (rounds * lanes)
+
+
+# --------------------------------------------------------------------------
+# ERPT (erpt.cpp): path-traced seeds + equal-deposition redistribution chains
+# --------------------------------------------------------------------------
+
+def erpt_pass(scene, static, sensor, cfg, width, height, seed, film,
+              pass_idx, n_seeds: int, chain_len: int):
+    """One ERPT pass: n_seeds independent PT samples; each runs a
+    chain_len-step small-mutation Metropolis chain depositing
+    I_seed/chain_len energy per mutation (erpt_proc.cpp deposition rule).
+
+    Returns film accumulating n_pixels-normalized splats; the caller divides
+    by the seed count per pixel.
+    """
+    nslots = n_slots(cfg)
+    lane = jnp.arange(n_seeds, dtype=jnp.int32)
+    u0 = fresh_table(seed, lane, pass_idx, nslots)
+    L0, I0, pos0 = eval_target(scene, static, sensor, cfg, width, height, u0)
+    ed = I0 / float(chain_len)  # per-mutation deposition energy
+    st = ChainState(u=u0, L=L0, I=I0, pos=pos0)
+
+    def body(k, carry):
+        st, film = carry
+        step = pass_idx * (chain_len + 1) + k + 1
+        r_sel = rng_mod.uniform4(seed + 15485863, lane, step, 0)
+        r_mut = fresh_table(seed + 32452843, lane, step, nslots)
+        u_prop = small_step(st.u, r_mut)
+        L2, I2, pos2 = eval_target(scene, static, sensor, cfg, width, height,
+                                   u_prop)
+        a = jnp.where(st.I > 0, jnp.minimum(1.0, m.safe_div(I2, st.I)), 1.0)
+        w_prop = jnp.where(I2 > 0, a * ed / jnp.maximum(I2, 1e-20), 0.0)
+        w_cur = jnp.where(st.I > 0,
+                          (1.0 - a) * ed / jnp.maximum(st.I, 1e-20), 0.0)
+        film = splat_box(film, st.pos, st.L * w_cur[:, None], width, height)
+        film = splat_box(film, pos2, L2 * w_prop[:, None], width, height)
+        accept = r_sel[:, 1] < a
+        st2 = ChainState(
+            u=jnp.where(accept[:, None, None], u_prop, st.u),
+            L=jnp.where(accept[:, None], L2, st.L),
+            I=jnp.where(accept, I2, st.I),
+            pos=jnp.where(accept[:, None], pos2, st.pos),
+        )
+        return st2, film
+
+    _, film = jax.lax.fori_loop(0, chain_len, body, (st, film))
+    return film

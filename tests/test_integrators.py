@@ -149,3 +149,39 @@ def test_field_aovs(cornell, cornell_cam):
                     w=16, h=16, spp=1)
     d = img_d[..., 0]
     assert d.max() < 3.0 and d[d > 0].min() > 0.5  # cornell box scale
+
+
+def test_adaptive_matches_path(cornell, cornell_cam):
+    """adaptive (misc/adaptive.cpp): same estimate as path, fewer/more
+    samples where the Student's-t bound dictates."""
+    from mitsuba_tpu.render.integrators.common import ADAPTIVE
+    from mitsuba_tpu.render import rfilter
+    scene, static = cornell
+    sens = S.make_perspective(cornell_cam, 39.0, 12, 12)
+    ref = _render(scene, static, sens,
+                  IntegratorConfig(type=PATH, max_depth=3),
+                  w=12, h=12, spp=256)
+    img = np.asarray(api.render(
+        scene, static, sens,
+        IntegratorConfig(type=ADAPTIVE, max_depth=3, max_error=0.03,
+                         max_sample_factor=8),
+        api.RenderSettings(width=12, height=12, spp=16,
+                           filter_type=rfilter.BOX)))
+    assert np.isfinite(img).all()
+    rel = abs(img.mean() - ref.mean()) / ref.mean()
+    assert rel < 0.05, f"adaptive off by {rel:.4f}"
+
+
+def test_multichannel_stacks(cornell, cornell_cam):
+    from mitsuba_tpu.render import rfilter
+    from mitsuba_tpu.render.integrators.common import FIELD_NORMAL
+    scene, static = cornell
+    sens = S.make_perspective(cornell_cam, 39.0, 8, 8)
+    cfgs = [IntegratorConfig(type=PATH, max_depth=2),
+            IntegratorConfig(type=FIELD, field=FIELD_NORMAL)]
+    img = np.asarray(api.render_multichannel(
+        scene, static, sens, cfgs,
+        api.RenderSettings(width=8, height=8, spp=4,
+                           filter_type=rfilter.BOX)))
+    assert img.shape == (8, 8, 6)
+    assert np.isfinite(img).all()
