@@ -666,14 +666,44 @@ class XMLSceneLoader:
             self.builder.add_envmap(img, to_world=to_world.m[:3, :3],
                                     scale=float(p.get("scale", 1.0)))
         elif t == "sunsky" or t == "sky" or t == "sun":
-            # Hosek-Wilkie model not yet implemented: approximate with a
-            # constant sky + directional sun so scenes still load/render
-            self.builder.add_constant_emitter((0.4, 0.56, 0.84))
-            if t != "sky":
-                sun_dir = p.get("sunDirection", (0.2, -0.8, 0.3))
-                self.builder.add_directional_light(
-                    tuple(-np.asarray(sun_dir)), (40.0, 38.0, 30.0)
-                )
+            # Preetham analytic daylight model baked into a lat-long envmap
+            # (same bake-then-importance-sample architecture as sky.cpp);
+            # the sun is a directional emitter for exact hard shadows
+            # (documented deviation: Preetham fit instead of Hosek-Wilkie)
+            from ..render import sunsky as sunsky_mod
+
+            turb = float(p.get("turbidity", 3.0))
+            if "sunDirection" in p:
+                sd = np.asarray(p["sunDirection"], np.float64)
+                sd = sd / np.linalg.norm(sd)
+            else:
+                sd = sunsky_mod.sun_direction(
+                    int(p.get("year", 2010)), int(p.get("month", 7)),
+                    int(p.get("day", 10)), float(p.get("hour", 15.0)),
+                    float(p.get("minute", 0.0)), float(p.get("second", 0.0)),
+                    float(p.get("latitude", 35.6894)),
+                    float(p.get("longitude", 139.6917)),
+                    float(p.get("timezone", 9.0)))
+            res = int(p.get("resolution", 256))
+            if t in ("sky", "sunsky"):
+                img = sunsky_mod.bake_sky_envmap(
+                    sd, turbidity=turb, resolution=(res // 2, res),
+                    scale=float(p.get("scale", 1.0))
+                    * float(p.get("skyScale", 1.0)),
+                    extend_below=bool(p.get("extend", True)))
+                self.builder.add_envmap(img)
+            if t in ("sun", "sunsky"):
+                irr = sunsky_mod.sun_directional_irradiance(
+                    sd, turbidity=turb,
+                    sun_scale=float(p.get("sunScale", 1.0))
+                    * float(p.get("scale", 1.0)))
+                self.builder.add_directional_light(tuple(-sd), tuple(irr))
+        elif t == "collimated":
+            to_world = p.get("toWorld", Transform.identity())
+            o = to_world.apply_point([0, 0, 0])
+            d = to_world.apply_vector([0, 0, 1])
+            self.builder.add_collimated_beam(
+                o, d, p.get("power", (1.0,) * 3))
         else:
             raise ValueError(f"unsupported emitter type '{t}'")
 

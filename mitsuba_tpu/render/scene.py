@@ -695,6 +695,17 @@ class SceneBuilder:
         )
         return len(self.emitters) - 1
 
+    def add_collimated_beam(self, position, direction, power) -> int:
+        """collimated.cpp: zero-radius beam. Contributes only through
+        light-tracing (sample_ray); NEE/hit queries never see it."""
+        d = np.asarray(direction, float)
+        d = d / np.linalg.norm(d)
+        self.emitters.append(
+            dict(type=em_mod.COLLIMATED, radiance=tuple(power),
+                 position=tuple(position), direction=tuple(d))
+        )
+        return len(self.emitters) - 1
+
     def add_constant_emitter(self, radiance) -> int:
         self.emitters.append(dict(type=em_mod.CONSTANT, radiance=tuple(radiance)))
         return len(self.emitters) - 1
