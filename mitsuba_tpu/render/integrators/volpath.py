@@ -115,7 +115,11 @@ def li(scene, static, cfg: IntegratorConfig, o, d, seed, pixel, sample,
         nst = scene_mod.bsdf_nested(scene, its, static)
         mid = jnp.maximum(s.medium, 0)
         ph_type = med.phase_type[mid]
-        ph_g = med.phase_g[mid]
+        ph_params = phase_mod.PhaseParams(
+            g=med.phase_g[mid], g2=med.phase_g2[mid], w2=med.phase_w2[mid],
+            ks=med.phase_ks[mid], exponent=med.phase_exp[mid],
+            sigma=med.phase_sigma[mid], axis=med.phase_axis[mid],
+        )
         ph_active = static.phase_types if static.phase_types else (0,)
 
         # --- NEE from surface OR medium vertex ---
@@ -151,10 +155,10 @@ def li(scene, static, cfg: IntegratorConfig, o, d, seed, pixel, sample,
             f_surf = bsdf_mod.eval(bl, its.wi, wo_local, active_types=types, nested=nst)
             pdf_surf = bsdf_mod.pdf(bl, its.wi, wo_local, active_types=types, nested=nst)
             if mtypes:
-                f_ph = phase_mod.eval_pdf(ph_type, ph_g, -d, ds.d,
-                                          active_types=ph_active)
+                f_ph, pdf_ph_nee = phase_mod.eval_pdf(
+                    ph_type, ph_params, -d, ds.d, active_types=ph_active)
                 f_val = jnp.where(in_scatter[..., None], f_ph[..., None], f_surf)
-                pdf_fwd = jnp.where(in_scatter, f_ph, pdf_surf)
+                pdf_fwd = jnp.where(in_scatter, pdf_ph_nee, pdf_surf)
             else:
                 f_val = f_surf
                 pdf_fwd = pdf_surf
@@ -169,13 +173,14 @@ def li(scene, static, cfg: IntegratorConfig, o, d, seed, pixel, sample,
         d_surf = m.normalize(its.sh_frame.to_world(bs.wo))
 
         if mtypes:
-            wo_ph, pdf_ph = phase_mod.sample(ph_type, ph_g, -d, u_b[..., 1:3],
-                                             active_types=ph_active)
+            wo_ph, w_ph, pdf_ph = phase_mod.sample(
+                ph_type, ph_params, -d, u_b[..., 1:3], active_types=ph_active)
             d_new = jnp.where(in_scatter[..., None], wo_ph, d_surf)
             new_pdf = jnp.where(in_scatter, pdf_ph, bs.pdf)
             new_delta = jnp.where(in_scatter, False, bs.is_delta)
-            # phase weight = f/pdf = 1 (perfect importance sampling)
-            w_step = jnp.where(in_scatter[..., None], jnp.ones((R, 3)), bs.weight)
+            # phase weight = f/pdf (1 for the perfectly-sampled models)
+            w_step = jnp.where(in_scatter[..., None],
+                               w_ph[..., None] * jnp.ones((R, 3)), bs.weight)
             o_new = jnp.where(
                 in_scatter[..., None], ms.p, ray_offset(its.p, its.gn, d_surf)
             )

@@ -33,6 +33,12 @@ class MediumTable(NamedTuple):
     albedo: jnp.ndarray      # (K, 3) single-scattering albedo (sigma_s/sigma_t)
     phase_type: jnp.ndarray  # (K,) int32
     phase_g: jnp.ndarray     # (K,)
+    phase_g2: jnp.ndarray    # (K,) mixturephase second HG lobe
+    phase_w2: jnp.ndarray    # (K,) mixturephase weight of lobe 2
+    phase_ks: jnp.ndarray    # (K,) kkay specular weight
+    phase_exp: jnp.ndarray   # (K,) kkay specular exponent
+    phase_sigma: jnp.ndarray  # (K,) microflake flake std dev
+    phase_axis: jnp.ndarray  # (K, 3) fiber tangent (kkay/microflake)
     scale: jnp.ndarray       # (K,) density scale
     # heterogeneous payload: one padded grid stack
     grid_idx: jnp.ndarray    # (K,) int32 into stack, -1 for homogeneous
@@ -49,6 +55,12 @@ class MediumTable(NamedTuple):
             albedo=jnp.full((1, 3), 0.5),
             phase_type=jnp.zeros((1,), jnp.int32),
             phase_g=jnp.zeros((1,)),
+            phase_g2=jnp.zeros((1,)),
+            phase_w2=jnp.zeros((1,)),
+            phase_ks=jnp.zeros((1,)),
+            phase_exp=jnp.full((1,), 4.0),
+            phase_sigma=jnp.full((1,), 0.3),
+            phase_axis=jnp.asarray([[0.0, 0.0, 1.0]]),
             scale=jnp.ones((1,)),
             grid_idx=jnp.full((1,), -1, jnp.int32),
             grids=jnp.zeros((1, 1, 1, 1)),

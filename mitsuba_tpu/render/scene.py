@@ -521,9 +521,24 @@ class SceneBuilder:
         return len(self.mats) - 1
 
     # --- media (src/medium, src/volume parity) ---
+    @staticmethod
+    def _phase_kw(phase_type, phase_g, kw):
+        """Collect the full per-medium phase parameter set (src/phase/*)."""
+        import numpy as _np
+        return dict(
+            phase_type=phase_type, phase_g=phase_g,
+            phase_g2=kw.get("phase_g2", 0.0),
+            phase_w2=kw.get("phase_w2", 0.0),
+            phase_ks=kw.get("phase_ks", 0.0),
+            phase_exp=kw.get("phase_exp", 4.0),
+            phase_sigma=kw.get("phase_sigma", 0.3),
+            phase_axis=tuple(_np.asarray(kw.get("phase_axis", (0, 0, 1)),
+                                         float)),
+        )
+
     def add_medium_homogeneous(self, sigma_s=(1.0,) * 3, sigma_a=(0.1,) * 3,
                                phase_type: int = 0, phase_g: float = 0.0,
-                               scale: float = 1.0) -> int:
+                               scale: float = 1.0, **phase_kw) -> int:
         import numpy as _np
         sigma_s = _np.asarray(sigma_s, float)
         sigma_a = _np.asarray(sigma_a, float)
@@ -532,25 +547,26 @@ class SceneBuilder:
         from .medium import HOMOGENEOUS
         self.media.append(dict(
             type=HOMOGENEOUS, sigma_t=tuple(sigma_t), albedo=tuple(albedo),
-            phase_type=phase_type, phase_g=phase_g, scale=scale, grid=-1,
-            world_to_grid=_np.eye(4),
+            scale=scale, grid=-1, world_to_grid=_np.eye(4),
+            **self._phase_kw(phase_type, phase_g, phase_kw),
         ))
         return len(self.media) - 1
 
     def add_medium_heterogeneous(self, density_grid, sigma_t=(1.0,) * 3,
                                  albedo=(0.8,) * 3, phase_type: int = 0,
                                  phase_g: float = 0.0, scale: float = 1.0,
-                                 world_to_grid=None) -> int:
+                                 world_to_grid=None, **phase_kw) -> int:
         import numpy as _np
         from .medium import HETEROGENEOUS
         g = _np.asarray(density_grid, _np.float32)
         self.vol_grids.append(g)
         self.media.append(dict(
             type=HETEROGENEOUS, sigma_t=tuple(_np.asarray(sigma_t, float)),
-            albedo=tuple(_np.asarray(albedo, float)), phase_type=phase_type,
-            phase_g=phase_g, scale=scale, grid=len(self.vol_grids) - 1,
+            albedo=tuple(_np.asarray(albedo, float)),
+            scale=scale, grid=len(self.vol_grids) - 1,
             world_to_grid=(_np.eye(4) if world_to_grid is None
                            else _np.asarray(world_to_grid, float)),
+            **self._phase_kw(phase_type, phase_g, phase_kw),
         ))
         return len(self.media) - 1
 
@@ -583,6 +599,12 @@ class SceneBuilder:
             albedo=jnp.asarray([mm["albedo"] for mm in self.media], jnp.float32),
             phase_type=jnp.asarray([mm["phase_type"] for mm in self.media], jnp.int32),
             phase_g=jnp.asarray([mm["phase_g"] for mm in self.media], jnp.float32),
+            phase_g2=jnp.asarray([mm["phase_g2"] for mm in self.media], jnp.float32),
+            phase_w2=jnp.asarray([mm["phase_w2"] for mm in self.media], jnp.float32),
+            phase_ks=jnp.asarray([mm["phase_ks"] for mm in self.media], jnp.float32),
+            phase_exp=jnp.asarray([mm["phase_exp"] for mm in self.media], jnp.float32),
+            phase_sigma=jnp.asarray([mm["phase_sigma"] for mm in self.media], jnp.float32),
+            phase_axis=jnp.asarray([mm["phase_axis"] for mm in self.media], jnp.float32),
             scale=jnp.asarray([mm["scale"] for mm in self.media], jnp.float32),
             grid_idx=jnp.asarray([mm["grid"] for mm in self.media], jnp.int32),
             grids=jnp.asarray(stack),

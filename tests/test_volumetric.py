@@ -22,27 +22,79 @@ def _render(scene, static, sens, cfg, wh=8, spp=64, **kw):
     return np.asarray(api.render(scene, static, sens, cfg, st))
 
 
-@pytest.mark.parametrize("ptype,g", [(PH.ISOTROPIC, 0.0), (PH.HG, 0.5),
-                                     (PH.HG, -0.7), (PH.RAYLEIGH, 0.0)],
-                         ids=["iso", "hg_fwd", "hg_bwd", "rayleigh"])
-def test_phase_chi2(ptype, g):
+def _params(n, **kw):
+    p = PH.PhaseParams.iso_like((n,))
+    return p._replace(**{k: jnp.full((n,), v) if k != "axis" else
+                         jnp.broadcast_to(jnp.asarray(v), (n, 3))
+                         for k, v in kw.items()})
+
+
+AXIS = (0.6, 0.0, 0.8)
+
+
+@pytest.mark.parametrize(
+    "ptype,kw",
+    [(PH.ISOTROPIC, {}), (PH.HG, dict(g=0.5)), (PH.HG, dict(g=-0.7)),
+     (PH.RAYLEIGH, {}), (PH.MIXTURE, dict(g=0.6, g2=-0.3, w2=0.4))],
+    ids=["iso", "hg_fwd", "hg_bwd", "rayleigh", "mixture"])
+def test_phase_chi2(ptype, kw):
+    """sample() really draws from the density claimed by the pdf
+    (test_chisquare.cpp methodology)."""
     wi = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (1, 3))
 
     def sample_fn(n):
         w = jnp.broadcast_to(wi, (n, 3))
         u = rng.uniform2(ptype * 10 + 1, jnp.arange(n, dtype=jnp.int32), 0, 0)
-        wo, _ = PH.sample(jnp.full(n, ptype), jnp.full(n, g), w, u,
-                          active_types=(ptype,))
+        wo, _, _ = PH.sample(jnp.full(n, ptype), _params(n, **kw), w, u,
+                             active_types=(ptype,))
         return np.asarray(wo)
 
     def pdf_fn(d):
         n = d.shape[0]
         w = jnp.broadcast_to(wi, (n, 3))
-        return PH.eval_pdf(jnp.full(n, ptype), jnp.full(n, g), w, d,
-                           active_types=(ptype,))
+        return PH.eval_pdf(jnp.full(n, ptype), _params(n, **kw), w, d,
+                           active_types=(ptype,))[1]
 
     ok, pval, stat, dof, info = chi2_test(sample_fn, pdf_fn, n_samples=400_000)
     assert ok, info
+
+
+@pytest.mark.parametrize(
+    "ptype,kw",
+    [(PH.KKAY, dict(ks=0.5, exponent=8.0, axis=AXIS)),
+     (PH.MIXTURE, dict(g=0.6, g2=-0.3, w2=0.4)),
+     (PH.MICROFLAKE, dict(sigma=0.25, axis=AXIS))],
+    ids=["kkay", "mixture", "microflake"])
+def test_phase_value_normalized(ptype, kw):
+    """int value dOmega == 1 (energy conservation of every phase model),
+    estimated with uniform-sphere Monte Carlo."""
+    n = 400_000
+    u = rng.uniform2(7, jnp.arange(n, dtype=jnp.int32), 1, 0)
+    from mitsuba_tpu.core import warp
+    wo = warp.square_to_uniform_sphere(u)
+    wi = jnp.broadcast_to(jnp.asarray([0.3, -0.2, 0.933]), (n, 3))
+    wi = wi / jnp.linalg.norm(wi, axis=-1, keepdims=True)
+    val, _ = PH.eval_pdf(jnp.full(n, ptype), _params(n, **kw), wi, wo,
+                         active_types=(ptype,))
+    integral = float(jnp.mean(val) * 4.0 * jnp.pi)
+    assert abs(integral - 1.0) < 0.03, integral
+
+
+def test_microflake_sampler_consistent():
+    """The microflake sampler + weight reproduce the normalized value:
+    E[value/pdf] over sampled wo == int value dOmega == 1 (the chi-square
+    harness can't bin its grazing-half-vector pdf singularity)."""
+    n = 400_000
+    ptype = jnp.full(n, PH.MICROFLAKE)
+    p = _params(n, sigma=0.25, axis=AXIS)
+    wi = jnp.broadcast_to(jnp.asarray([0.3, -0.2, 0.933]), (n, 3))
+    wi = wi / jnp.linalg.norm(wi, axis=-1, keepdims=True)
+    u = rng.uniform2(11, jnp.arange(n, dtype=jnp.int32), 2, 0)
+    _, weight, pdf = PH.sample(ptype, p, wi, u,
+                               active_types=(PH.MICROFLAKE,))
+    assert float(jnp.min(pdf)) > 0
+    est = float(jnp.mean(weight))
+    assert abs(est - 1.0) < 0.02, est
 
 
 def test_volpath_equals_path_without_media(cornell, cornell_cam):
