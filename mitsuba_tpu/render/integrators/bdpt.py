@@ -102,6 +102,7 @@ def _vertex_locals(scene, static, sp: Subpath, k: int):
         mat_id=sp.mat_id[k], emitter_id=sp.emitter_id[k],
         prim_id=jnp.full(sp.valid[k].shape, -1, jnp.int32),
         nee_pdf_area=sp.light_pdf_a[k],
+        bary=jnp.zeros(sp.valid[k].shape + (2,)),
     )
     bl = scene_mod.bsdf_locals(scene, its, static)
     nst = scene_mod.bsdf_nested(scene, its, static)

@@ -364,6 +364,7 @@ def _gp_locals(scene, static, gp: GatherPoint):
         emitter_id=jnp.full(gp.valid.shape, -1, jnp.int32),
         prim_id=jnp.full(gp.valid.shape, -1, jnp.int32),
         nee_pdf_area=jnp.zeros(gp.valid.shape),
+        bary=jnp.zeros(gp.valid.shape + (2,)),
     )
     bl = scene_mod.bsdf_locals(scene, its, static)
     nst = scene_mod.bsdf_nested(scene, its, static)

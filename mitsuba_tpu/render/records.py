@@ -28,6 +28,8 @@ class Interaction(NamedTuple):
     emitter_id: jnp.ndarray # (R,) int32, -1 if not emissive
     prim_id: jnp.ndarray    # (R,) int32 triangle id, or T + sphere id
     nee_pdf_area: jnp.ndarray  # (R,) precomputed area pdf of NEE for this prim
+    bary: jnp.ndarray       # (R, 2) triangle barycentrics (b1, b2); zeros
+                            # when synthesized away from a triangle hit
 
 
 class DirectSample(NamedTuple):

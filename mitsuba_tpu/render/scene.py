@@ -255,6 +255,8 @@ def ray_intersect(scene: Scene, static: SceneStatic, o, d, t_min, t_max,
         emitter_id=em_id,
         prim_id=jnp.where(valid, prim, -1).astype(jnp.int32),
         nee_pdf_area=nee_pdf,
+        bary=jnp.stack([tri_u, tri_v], axis=-1) if T > 0
+        else jnp.zeros((R, 2)),
     )
 
 
@@ -373,7 +375,8 @@ def eval_albedo(scene: Scene, its: Interaction, static: SceneStatic = None):
     tex_id = scene.materials.albedo_tex[mid]
     from .texture import eval_texture
 
-    return eval_texture(scene.textures, tex_id, its.uv, base)
+    return eval_texture(scene.textures, tex_id, its.uv, base,
+                        bary=its.bary, prim=its.prim_id)
 
 
 def bsdf_locals(scene: Scene, its: Interaction,
@@ -454,6 +457,7 @@ class _Mesh:
     emitter: int
     normals: Optional[np.ndarray] = None
     uvs: Optional[np.ndarray] = None
+    vcolors: Optional[np.ndarray] = None  # (V, 3) vertexcolors.cpp attribute
 
 
 @dataclass
@@ -665,15 +669,60 @@ class SceneBuilder:
         )
         return len(self.textures) - 1
 
+    def add_texture_wireframe(self, interior=(0.5,) * 3, edge=(0.1,) * 3,
+                              line_width=0.05) -> int:
+        """wireframe.cpp: triangle edges in edge color (barycentric width)."""
+        from .texture import TEX_WIREFRAME
+
+        self.textures.append(
+            dict(type=TEX_WIREFRAME, color0=tuple(interior), color1=tuple(edge),
+                 uv_scale=(1, 1), uv_offset=(0, 0), line_width=line_width,
+                 scale=(1, 1, 1), bitmap=-1)
+        )
+        return len(self.textures) - 1
+
+    def add_texture_vertexcolors(self) -> int:
+        """vertexcolors.cpp: interpolate add_mesh(vertex_colors=...)."""
+        from .texture import TEX_VERTEXCOLORS
+
+        self.textures.append(
+            dict(type=TEX_VERTEXCOLORS, color0=(0, 0, 0), color1=(0, 0, 0),
+                 uv_scale=(1, 1), uv_offset=(0, 0), line_width=0.01,
+                 scale=(1, 1, 1), bitmap=-1)
+        )
+        return len(self.textures) - 1
+
+    def add_texture_curvature(self, curv_scale: float = 1.0) -> int:
+        """curvature.cpp: signed mean curvature (baked per-vertex at build
+        time), shown on a diverging red(+)/blue(-) map."""
+        from .texture import TEX_CURVATURE
+
+        self.textures.append(
+            dict(type=TEX_CURVATURE, color0=(0, 0, 0), color1=(0, 0, 0),
+                 uv_scale=(1, 1), uv_offset=(0, 0), line_width=0.01,
+                 scale=(curv_scale,) * 3, bitmap=-1)
+        )
+        return len(self.textures) - 1
+
+    def add_texture_scale(self, nested: int, value) -> int:
+        """scale.cpp: multiply a nested texture by a constant factor
+        (folded into the value multiplier at build time)."""
+        src = dict(self.textures[nested])
+        v = np.asarray(value, float) * np.ones(3)
+        src["scale"] = tuple(np.asarray(src["scale"], float) * v)
+        self.textures.append(src)
+        return len(self.textures) - 1
+
     # --- geometry ---
     def add_mesh(self, verts, faces, mat: int, emitter_radiance=None,
-                 normals=None, uvs=None) -> None:
+                 normals=None, uvs=None, vertex_colors=None) -> None:
         verts = np.asarray(verts, dtype=np.float64)
         faces = np.asarray(faces, dtype=np.int64)
         em = -1
         if emitter_radiance is not None:
             em = self._add_area_emitter(tuple(np.asarray(emitter_radiance, dtype=float)))
-        self.meshes.append(_Mesh(verts, faces, mat, em, normals, uvs))
+        self.meshes.append(_Mesh(verts, faces, mat, em, normals, uvs,
+                                 vertex_colors))
 
     def add_sphere(self, center, radius, mat: int, emitter_radiance=None) -> None:
         em = -1
@@ -749,6 +798,10 @@ class SceneBuilder:
         P0, E1, E2, N0, N1, N2, UV0, UV1, UV2, GN, MAT, EM, AREA_ = (
             [], [], [], [], [], [], [], [], [], [], [], [], []
         )
+        from .texture import TEX_CURVATURE, TEX_VERTEXCOLORS, bake_vertex_curvature
+        ttypes = {t["type"] for t in self.textures}
+        want_corners = bool(ttypes & {TEX_CURVATURE, TEX_VERTEXCOLORS})
+        C0, C1, C2 = [], [], []
         for mesh in self.meshes:
             v, f = mesh.verts, mesh.faces
             p0 = v[f[:, 0]]
@@ -770,6 +823,24 @@ class SceneBuilder:
                 uv0, uv1, uv2 = uv[f[:, 0]], uv[f[:, 1]], uv[f[:, 2]]
             else:
                 uv0 = uv1 = uv2 = np.zeros((len(f), 2))
+            if want_corners:
+                if mesh.vcolors is not None:
+                    c = np.asarray(mesh.vcolors, np.float64)
+                elif TEX_CURVATURE in ttypes:
+                    vn = (np.asarray(mesh.normals, np.float64)
+                          if mesh.normals is not None else None)
+                    if vn is None:
+                        vn = np.zeros_like(v)
+                        np.add.at(vn, f[:, 0], gn)
+                        np.add.at(vn, f[:, 1], gn)
+                        np.add.at(vn, f[:, 2], gn)
+                        vn /= np.maximum(
+                            np.linalg.norm(vn, axis=-1, keepdims=True), 1e-12)
+                    k = bake_vertex_curvature(v, f, vn)
+                    c = np.stack([k, np.zeros_like(k), np.zeros_like(k)], -1)
+                else:
+                    c = np.zeros_like(v)
+                C0.append(c[f[:, 0]]); C1.append(c[f[:, 1]]); C2.append(c[f[:, 2]])
             P0.append(p0); E1.append(e1); E2.append(e2)
             N0.append(n0); N1.append(n1); N2.append(n2)
             UV0.append(uv0); UV1.append(uv1); UV2.append(uv2)
@@ -903,7 +974,11 @@ class SceneBuilder:
             hk_g=jnp.asarray([mm.get("hk_g", 0.0) for mm in self.mats], jnp.float32),
         )
 
-        textures = self._build_textures()
+        corners = None
+        if want_corners and C0:
+            corners = (np.concatenate(C0), np.concatenate(C1),
+                       np.concatenate(C2))
+        textures = self._build_textures(corners)
 
         # spheres
         S = len(self.spheres)
@@ -1006,7 +1081,8 @@ class SceneBuilder:
         )
         return scene, static
 
-    def _build_textures(self) -> TextureTable:
+    def _build_textures(self, corners=None) -> TextureTable:
+        from .texture import build_mip_chain
         if not self.textures:
             return TextureTable.empty()
         K = len(self.textures)
@@ -1018,9 +1094,15 @@ class SceneBuilder:
             for i, b in enumerate(self.bitmaps):
                 stack[i, : b.shape[0], : b.shape[1]] = b[..., :3]
                 sizes[i] = (b.shape[0], b.shape[1])
+            mips = build_mip_chain(stack, sizes)
         else:
             stack = np.zeros((1, 1, 1, 3), np.float32)
             sizes = np.ones((1, 2), np.int32)
+            mips = np.zeros((1, 1, 1, 3), np.float32)
+        if corners is None:
+            c0 = c1 = c2 = np.zeros((1, 3), np.float32)
+        else:
+            c0, c1, c2 = (np.asarray(c, np.float32) for c in corners)
         return TextureTable(
             type=jnp.asarray([t["type"] for t in self.textures], jnp.int32),
             color0=jnp.asarray([t["color0"] for t in self.textures], jnp.float32),
@@ -1032,6 +1114,10 @@ class SceneBuilder:
             bitmap_idx=jnp.asarray([t["bitmap"] for t in self.textures], jnp.int32),
             stack=jnp.asarray(stack),
             sizes=jnp.asarray(sizes),
+            mips=jnp.asarray(mips),
+            corner0=jnp.asarray(c0),
+            corner1=jnp.asarray(c1),
+            corner2=jnp.asarray(c2),
         )
 
 

@@ -3,11 +3,17 @@
 All bitmaps live in one padded stack array (B, Hmax, Wmax, 3) so a per-lane
 gather with a dynamic texture index stays a single XLA gather — the TPU
 replacement for per-plugin virtual Texture::eval. Procedural textures
-(checkerboard, grid) are evaluated analytically and selected by type mask.
+(checkerboard, grid, wireframe, curvature, vertexcolors) are evaluated
+analytically and selected by type mask.
 
-Parity: bitmap.cpp (bilinear; MIP/EWA arrives with the mipmap module),
-checkerboard.cpp, gridtexture.cpp, scale.cpp (folded into uv/value transform
-at build time), wireframe/curvature later.
+Parity: bitmap.cpp (bilinear + trilinear MIP via a compact vertically
+stacked pyramid — the TMIPMap of mipmap.h:861; EWA reduces to trilinear
+here because TPU lanes carry an isotropic footprint estimate, not full ray
+differentials), checkerboard.cpp, gridtexture.cpp, scale.cpp (folded into
+the value multiplier at build time and exposed as add_texture_scale),
+wireframe.cpp (barycentric edge distance), curvature.cpp (per-vertex
+umbrella-Laplacian mean curvature baked at build time, diverging red/blue
+map), vertexcolors.cpp (per-corner attribute interpolation).
 """
 from __future__ import annotations
 
@@ -19,19 +25,28 @@ TEX_CONSTANT = 0
 TEX_CHECKERBOARD = 1
 TEX_BITMAP = 2
 TEX_GRID = 3
+TEX_WIREFRAME = 4
+TEX_VERTEXCOLORS = 5
+TEX_CURVATURE = 6
 
 
 class TextureTable(NamedTuple):
     type: jnp.ndarray        # (K,) int32
-    color0: jnp.ndarray      # (K, 3) constant value / checker dark
-    color1: jnp.ndarray      # (K, 3) checker bright / grid line color
+    color0: jnp.ndarray      # (K, 3) constant value / checker dark / interior
+    color1: jnp.ndarray      # (K, 3) checker bright / grid+wire line color
     uv_scale: jnp.ndarray    # (K, 2)
     uv_offset: jnp.ndarray   # (K, 2)
-    line_width: jnp.ndarray  # (K,) gridtexture line width
+    line_width: jnp.ndarray  # (K,) gridtexture/wireframe line width
     scale: jnp.ndarray       # (K, 3) value multiplier (scale.cpp folded in)
     bitmap_idx: jnp.ndarray  # (K,) int32 into stack, -1 if procedural
     stack: jnp.ndarray       # (B, H, W, 3) padded bitmap stack (B >= 1)
     sizes: jnp.ndarray       # (B, 2) int32 (h, w) true sizes
+    mips: jnp.ndarray        # (B, H, W//2, 3) vertically packed MIP chain
+                             # (level l>=1 at row offset H - (H >> (l-1)));
+                             # (1,1,1,3) when no mipmapping requested
+    corner0: jnp.ndarray     # (T, 3) per-triangle corner attribute
+    corner1: jnp.ndarray     # (vertex colors, or baked curvature in ch 0;
+    corner2: jnp.ndarray     #  (1, 3) dummy when unused)
 
     @staticmethod
     def empty() -> "TextureTable":
@@ -46,12 +61,19 @@ class TextureTable(NamedTuple):
             bitmap_idx=jnp.full((1,), -1, jnp.int32),
             stack=jnp.zeros((1, 1, 1, 3)),
             sizes=jnp.ones((1, 2), jnp.int32),
+            mips=jnp.zeros((1, 1, 1, 3)),
+            corner0=jnp.zeros((1, 3)),
+            corner1=jnp.zeros((1, 3)),
+            corner2=jnp.zeros((1, 3)),
         )
 
 
-def eval_texture(tt: TextureTable, tex_id, uv, default):
+def eval_texture(tt: TextureTable, tex_id, uv, default,
+                 bary=None, prim=None, lod=None):
     """Evaluate textures for a batch: tex_id (R,) int32 (-1 -> default),
-    uv (R, 2), default (R, 3). Returns (R, 3)."""
+    uv (R, 2), default (R, 3). Optional: bary (R, 2) triangle barycentrics
+    + prim (R,) triangle ids (wireframe/vertexcolors/curvature), lod (R,)
+    MIP level (trilinear; None -> finest). Returns (R, 3)."""
     tid = jnp.maximum(tex_id, 0)
     ttype = tt.type[tid]
     uv_t = uv * tt.uv_scale[tid] + tt.uv_offset[tid]
@@ -73,18 +95,75 @@ def eval_texture(tt: TextureTable, tex_id, uv, default):
     v_grid = jnp.where(on_line[..., None], tt.color1[tid], tt.color0[tid])
     out = jnp.where((ttype == TEX_GRID)[..., None], v_grid, out)
 
-    # bitmap.cpp: bilinear lookup with repeat wrapping
-    v_bitmap = _bitmap_bilinear(tt, tid, uv_t)
+    # bitmap.cpp: bilinear (or trilinear MIP) lookup with repeat wrapping
+    if lod is None:
+        v_bitmap = _bitmap_bilinear_level(tt, tid, uv_t, None)
+    else:
+        v_bitmap = _bitmap_trilinear(tt, tid, uv_t, lod)
     out = jnp.where((ttype == TEX_BITMAP)[..., None], v_bitmap, out)
 
-    out = out * tt.scale[tid]
+    if bary is not None:
+        b1 = bary[..., 0]
+        b2 = bary[..., 1]
+        b0 = 1.0 - b1 - b2
+
+        # wireframe.cpp: edge color within line_width of a triangle edge
+        # (barycentric distance; the reference measures world-space distance
+        # — equivalent up to per-triangle scaling)
+        edge = jnp.minimum(jnp.minimum(b0, b1), b2) < lw
+        v_wire = jnp.where(edge[..., None], tt.color1[tid], tt.color0[tid])
+        out = jnp.where((ttype == TEX_WIREFRAME)[..., None], v_wire, out)
+
+        if prim is not None and tt.corner0.shape[0] > 1:
+            ti = jnp.clip(prim, 0, tt.corner0.shape[0] - 1)
+            attr = (b0[..., None] * tt.corner0[ti]
+                    + b1[..., None] * tt.corner1[ti]
+                    + b2[..., None] * tt.corner2[ti])
+            # vertexcolors.cpp: interpolated per-vertex colors
+            out = jnp.where((ttype == TEX_VERTEXCOLORS)[..., None], attr, out)
+            # curvature.cpp: signed curvature -> diverging red/blue map
+            k = attr[..., 0] * tt.scale[tid, 0]
+            pos = jnp.clip(k, 0.0, 1.0)
+            neg = jnp.clip(-k, 0.0, 1.0)
+            v_curv = jnp.stack([pos, jnp.zeros_like(pos), neg], axis=-1)
+            out = jnp.where((ttype == TEX_CURVATURE)[..., None], v_curv, out)
+
+    curv_sel = ttype == TEX_CURVATURE  # scale already applied to curvature
+    out = jnp.where(curv_sel[..., None], out, out * tt.scale[tid])
     return jnp.where((tex_id >= 0)[..., None], out, default)
 
 
-def _bitmap_bilinear(tt: TextureTable, tid, uv):
+def n_mip_levels(h, w):
+    """Levels below base resolution available in the packed chain."""
+    import numpy as np
+    n = 0
+    while (h >> (n + 1)) >= 1 and (w >> (n + 1)) >= 1:
+        n += 1
+    return n
+
+
+def _bitmap_bilinear_level(tt: TextureTable, tid, uv, level):
+    """Bilinear lookup at an integer MIP level (None/0 = base stack)."""
     bi = jnp.maximum(tt.bitmap_idx[tid], 0)
-    h = tt.sizes[bi, 0].astype(jnp.float32)
-    w = tt.sizes[bi, 1].astype(jnp.float32)
+    h0 = tt.sizes[bi, 0]
+    w0 = tt.sizes[bi, 1]
+    if level is None:
+        h = h0.astype(jnp.float32)
+        w = w0.astype(jnp.float32)
+        img = tt.stack
+        row0 = jnp.zeros_like(h0)
+        base = True
+    else:
+        lv = jnp.maximum(level, 1)
+        h_i = jnp.maximum(h0 >> lv, 1)
+        w_i = jnp.maximum(w0 >> lv, 1)
+        # packed chain: level l at row offset H - (H >> (l-1))
+        row0 = h0 - jnp.maximum(h0 >> (lv - 1), 1)
+        h = h_i.astype(jnp.float32)
+        w = w_i.astype(jnp.float32)
+        img = tt.mips
+        base = False
+
     # repeat wrap; v flipped (uv origin bottom-left, image row 0 top)
     u = uv[..., 0] - jnp.floor(uv[..., 0])
     v = uv[..., 1] - jnp.floor(uv[..., 1])
@@ -92,23 +171,85 @@ def _bitmap_bilinear(tt: TextureTable, tid, uv):
     y = (1.0 - v) * h - 0.5
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
-    fx = x - x0
-    fy = y - y0
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
 
     def wrap(i, n):
         return jnp.mod(i.astype(jnp.int32), jnp.maximum(n.astype(jnp.int32), 1))
 
     x0i, x1i = wrap(x0, w), wrap(x0 + 1, w)
     y0i, y1i = wrap(y0, h), wrap(y0 + 1, h)
-    c00 = tt.stack[bi, y0i, x0i]
-    c10 = tt.stack[bi, y0i, x1i]
-    c01 = tt.stack[bi, y1i, x0i]
-    c11 = tt.stack[bi, y1i, x1i]
-    fx = fx[..., None]
-    fy = fy[..., None]
+    if not base:
+        y0i = y0i + row0
+        y1i = y1i + row0
+    c00 = img[bi, y0i, x0i]
+    c10 = img[bi, y0i, x1i]
+    c01 = img[bi, y1i, x0i]
+    c11 = img[bi, y1i, x1i]
     return (
         c00 * (1 - fx) * (1 - fy)
         + c10 * fx * (1 - fy)
         + c01 * (1 - fx) * fy
         + c11 * fx * fy
     )
+
+
+def _bitmap_trilinear(tt: TextureTable, tid, uv, lod):
+    """Trilinear MIP interpolation (TMIPMap::evalTrilinear analog)."""
+    bi = jnp.maximum(tt.bitmap_idx[tid], 0)
+    max_l = jnp.log2(jnp.maximum(
+        jnp.minimum(tt.sizes[bi, 0], tt.sizes[bi, 1]).astype(jnp.float32),
+        1.0))
+    lod = jnp.clip(lod, 0.0, max_l - 1e-3)
+    l0 = jnp.floor(lod).astype(jnp.int32)
+    fl = (lod - l0.astype(jnp.float32))[..., None]
+    lo = jnp.where(l0 == 0,
+                   _bitmap_bilinear_level(tt, tid, uv, None),
+                   _bitmap_bilinear_level(tt, tid, uv, l0))
+    hi = _bitmap_bilinear_level(tt, tid, uv, l0 + 1)
+    return lo * (1.0 - fl) + hi * fl
+
+
+def build_mip_chain(stack, sizes):
+    """Host-side packed pyramid construction (numpy): 2x2 box downsample
+    per level, level l >= 1 stored at row offset H - (H >> (l-1))."""
+    import numpy as np
+    B, H, W, _ = stack.shape
+    out = np.zeros((B, H, max(W // 2, 1), 3), np.float32)
+    for b in range(B):
+        h, w = int(sizes[b, 0]), int(sizes[b, 1])
+        img = stack[b, :h, :w]
+        lvl = 1
+        while h >> lvl >= 1 and w >> lvl >= 1:
+            hh, ww = h >> lvl, w >> lvl
+            img = img[: hh * 2, : ww * 2]
+            img = 0.25 * (img[0::2, 0::2] + img[1::2, 0::2]
+                          + img[0::2, 1::2] + img[1::2, 1::2])
+            row0 = h - max(h >> (lvl - 1), 1)
+            out[b, row0: row0 + hh, :ww] = img
+            lvl += 1
+    return out
+
+
+def bake_vertex_curvature(verts, faces, normals):
+    """Per-vertex signed mean-curvature estimate via the umbrella Laplacian
+    (host-side; curvature.cpp's differential-geometry role)."""
+    import numpy as np
+    V = verts.shape[0]
+    acc = np.zeros((V, 3))
+    cnt = np.zeros((V,))
+    elen = np.zeros((V,))
+    for a, b in ((0, 1), (1, 2), (2, 0)):
+        i, j = faces[:, a], faces[:, b]
+        np.add.at(acc, i, verts[j] - verts[i])
+        np.add.at(cnt, i, 1.0)
+        np.add.at(elen, i, np.linalg.norm(verts[j] - verts[i], axis=-1))
+        np.add.at(acc, j, verts[i] - verts[j])
+        np.add.at(cnt, j, 1.0)
+        np.add.at(elen, j, np.linalg.norm(verts[j] - verts[i], axis=-1))
+    cnt = np.maximum(cnt, 1.0)
+    mean_e = np.maximum(elen / cnt, 1e-9)
+    lap = acc / cnt[:, None]
+    # umbrella operator ~ (e^2/2) * H * n: recover H with the e^2 scale.
+    # signed: positive when the surface bends away from the normal (convex)
+    return -2.0 * np.einsum("ij,ij->i", lap, normals) / (mean_e * mean_e)

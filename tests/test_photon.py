@@ -146,6 +146,7 @@ def test_hash_grid_finds_all_neighbors():
         mat_id=jnp.zeros(Q, jnp.int32),
         emitter_id=jnp.full(Q, -1, jnp.int32),
         prim_id=jnp.full(Q, -1, jnp.int32), nee_pdf_area=jnp.zeros(Q),
+        bary=jnp.zeros((Q, 2)),
     )
     bl = scene_mod.bsdf_locals(scene, its, static)
     _, count = int_ph.gather_photons(
