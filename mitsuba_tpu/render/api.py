@@ -105,6 +105,9 @@ def render_pass(scene, static, sensor, cfg: icommon.IntegratorConfig,
         u_ap = rng_mod.uniform2(seed, pixel_idx, sample_idx, icommon.DIM_APERTURE)
         o, d = sensor_mod.sample_ray(sensor, uv, u_ap)
         L = li(scene, static, cfg, o, d, seed, pixel_idx, sample_idx)
+        # measurement sensors (irradiancemeter/fluencemeter): constant
+        # importance turning the sampled-radiance mean into E / fluence
+        L = L * sensor_mod.ray_weight(sensor)
         R = pixel_idx.shape[0]
         if settings.filter_type == rfilter.BOX and R == H * W:
             # full-image fast path: one jittered sample per pixel lane

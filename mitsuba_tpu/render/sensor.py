@@ -1,9 +1,12 @@
 """Sensors / cameras (reference: src/sensors/*, sensor.h:143-265).
 
 Parity: perspective.cpp, thinlens.cpp (depth of field), orthographic.cpp,
-spherical.cpp, plus the measurement sensors radiancemeter.cpp /
-irradiancemeter.cpp used by the radiometric test scenes. telecentric and
-perspective_rdist later.
+spherical.cpp, telecentric.cpp (parallel projection + DoF),
+perspective_rdist.cpp (polynomial radial lens distortion), plus the
+measurement sensors radiancemeter.cpp / irradiancemeter.cpp /
+fluencemeter.cpp used by the radiometric test scenes. Measurement sensors
+carry a constant estimator weight (``ray_weight``) turning cosine- /
+sphere-sampled radiance means into irradiance / fluence.
 
 A sensor is a small pytree of camera constants; ``sample_ray`` maps film
 positions in [0,1)^2 (+ aperture/direction samples) to world-space rays.
@@ -25,6 +28,9 @@ ORTHOGRAPHIC = 2
 SPHERICAL = 3
 RADIANCEMETER = 4
 IRRADIANCEMETER = 5
+TELECENTRIC = 6
+PERSPECTIVE_RDIST = 7
+FLUENCEMETER = 8
 
 
 class Sensor(NamedTuple):
@@ -32,10 +38,11 @@ class Sensor(NamedTuple):
     to_world: jnp.ndarray      # (4, 4) camera-to-world
     tan_half_fov: jnp.ndarray  # () tan(fov_x / 2)
     aspect: jnp.ndarray        # () width/height
-    aperture_radius: jnp.ndarray  # () thinlens
+    aperture_radius: jnp.ndarray  # () thinlens/telecentric/irradiancemeter
     focus_distance: jnp.ndarray   # ()
     ortho_scale: jnp.ndarray   # (2,) orthographic half-extents
     near: jnp.ndarray          # ()
+    rdist: jnp.ndarray = None  # (2,) radial distortion (kc[0], kc[1])
 
     @property
     def position(self):
@@ -67,6 +74,7 @@ def make_perspective(to_world: Transform, fov_deg: float, width: int, height: in
         focus_distance=jnp.asarray(1.0, jnp.float32),
         ortho_scale=jnp.ones(2, jnp.float32),
         near=jnp.asarray(near, jnp.float32),
+        rdist=jnp.zeros(2, jnp.float32),
     )
 
 
@@ -93,6 +101,7 @@ def make_orthographic(to_world: Transform, width: int, height: int) -> Sensor:
         focus_distance=jnp.asarray(1.0, jnp.float32),
         ortho_scale=jnp.asarray([1.0, 1.0 / aspect], jnp.float32),
         near=jnp.asarray(0.0, jnp.float32),
+        rdist=jnp.zeros(2, jnp.float32),
     )
 
 
@@ -106,6 +115,7 @@ def make_spherical(to_world: Transform) -> Sensor:
         focus_distance=jnp.asarray(1.0, jnp.float32),
         ortho_scale=jnp.ones(2, jnp.float32),
         near=jnp.asarray(0.0, jnp.float32),
+        rdist=jnp.zeros(2, jnp.float32),
     )
 
 
@@ -115,6 +125,62 @@ def make_radiancemeter(origin, direction) -> Sensor:
     up = np.array([0.0, 1.0, 0.0]) if abs(d[1]) < 0.99 else np.array([1.0, 0.0, 0.0])
     t = Transform.look_at(origin, np.asarray(origin) + d, up)
     return make_spherical(t)._replace(type=jnp.asarray(RADIANCEMETER, jnp.int32))
+
+
+def make_telecentric(to_world: Transform, width: int, height: int,
+                     aperture_radius: float = 0.0,
+                     focus_distance: float = 1.0) -> Sensor:
+    """telecentric.cpp: parallel projection with a finite aperture
+    (orthographic DoF)."""
+    return make_orthographic(to_world, width, height)._replace(
+        type=jnp.asarray(TELECENTRIC, jnp.int32),
+        aperture_radius=jnp.asarray(aperture_radius, jnp.float32),
+        focus_distance=jnp.asarray(focus_distance, jnp.float32),
+    )
+
+
+def make_perspective_rdist(to_world: Transform, fov_deg: float, width: int,
+                           height: int, kc=(0.0, 0.0),
+                           fov_axis: str = "x") -> Sensor:
+    """perspective_rdist.cpp: perspective with polynomial radial lens
+    distortion r' = r * (1 + kc0 r^2 + kc1 r^4) on the image plane."""
+    return make_perspective(to_world, fov_deg, width, height,
+                            fov_axis)._replace(
+        type=jnp.asarray(PERSPECTIVE_RDIST, jnp.int32),
+        rdist=jnp.asarray(kc, jnp.float32),
+    )
+
+
+def make_irradiancemeter(origin, normal, radius: float = 0.0) -> Sensor:
+    """irradiancemeter.cpp: cosine-weighted hemisphere above a disk patch
+    (radius 0 = point); develop() of the 1x1 film times ray_weight() = E."""
+    n = np.asarray(normal, float)
+    n = n / np.linalg.norm(n)
+    up = np.array([0.0, 1.0, 0.0]) if abs(n[1]) < 0.99 else np.array([1.0, 0.0, 0.0])
+    t = Transform.look_at(origin, np.asarray(origin) + n, up)
+    return make_spherical(t)._replace(
+        type=jnp.asarray(IRRADIANCEMETER, jnp.int32),
+        aperture_radius=jnp.asarray(radius, jnp.float32),
+    )
+
+
+def make_fluencemeter(origin) -> Sensor:
+    """fluencemeter.cpp: uniform-sphere directions from a point; develop()
+    times ray_weight() = fluence int L dOmega."""
+    t = Transform.look_at(origin, np.asarray(origin, float) + [0.0, 0.0, 1.0],
+                          [0.0, 1.0, 0.0])
+    return make_spherical(t)._replace(
+        type=jnp.asarray(FLUENCEMETER, jnp.int32))
+
+
+def ray_weight(sensor: Sensor):
+    """Constant importance weight W such that the developed film equals the
+    measurement: pi for the cosine-sampled irradiancemeter, 4*pi for the
+    sphere-sampled fluencemeter, 1 for imaging sensors."""
+    w = jnp.asarray(1.0, jnp.float32)
+    w = jnp.where(sensor.type == IRRADIANCEMETER, jnp.pi, w)
+    w = jnp.where(sensor.type == FLUENCEMETER, 4.0 * jnp.pi, w)
+    return w
 
 
 class SensorSample(NamedTuple):
@@ -204,6 +270,15 @@ def sample_ray(sensor: Sensor, uv, u_aperture):
     # camera-space target on the virtual image plane at z=1
     x = (2.0 * uv[..., 0] - 1.0) * sensor.tan_half_fov
     y = (1.0 - 2.0 * uv[..., 1]) * sensor.tan_half_fov / sensor.aspect
+
+    # perspective_rdist.cpp: polynomial radial distortion of the plane point
+    if sensor.rdist is not None:
+        r2 = x * x + y * y
+        f = 1.0 + sensor.rdist[0] * r2 + sensor.rdist[1] * r2 * r2
+        is_rdist = stype == PERSPECTIVE_RDIST
+        x = jnp.where(is_rdist, x * f, x)
+        y = jnp.where(is_rdist, y * f, y)
+
     d_cam = m.normalize(jnp.stack([x, y, jnp.ones_like(x)], axis=-1))
     o_cam = jnp.zeros((R, 3))
 
@@ -230,6 +305,35 @@ def sample_ray(sensor: Sensor, uv, u_aperture):
     is_ortho = stype == ORTHOGRAPHIC
     o_cam = jnp.where(is_ortho, o_ortho, o_cam)
     d_cam = jnp.where(is_ortho, d_ortho, d_cam)
+
+    # telecentric.cpp: parallel projection + aperture disk, refocused at
+    # the focus plane z = focus_distance
+    is_tele = stype == TELECENTRIC
+    lens_t = warp.square_to_uniform_disk_concentric(u_aperture) \
+        * sensor.aperture_radius
+    o_tele = o_ortho + jnp.stack(
+        [lens_t[..., 0], lens_t[..., 1], jnp.zeros_like(x)], axis=-1)
+    p_focus_t = o_ortho + jnp.stack(
+        [jnp.zeros_like(x), jnp.zeros_like(x),
+         jnp.broadcast_to(sensor.focus_distance, x.shape)], axis=-1)
+    d_tele = m.normalize(p_focus_t - o_tele)
+    o_cam = jnp.where(is_tele, o_tele, o_cam)
+    d_cam = jnp.where(is_tele, d_tele, d_cam)
+
+    # irradiancemeter.cpp: disk patch origin + cosine hemisphere (uv is the
+    # uniform pair; develop * ray_weight -> E)
+    is_irr = stype == IRRADIANCEMETER
+    disk = warp.square_to_uniform_disk_concentric(u_aperture) \
+        * sensor.aperture_radius
+    o_irr = jnp.stack([disk[..., 0], disk[..., 1], jnp.zeros_like(x)], axis=-1)
+    d_irr = warp.square_to_cosine_hemisphere(uv)
+    o_cam = jnp.where(is_irr, o_irr, o_cam)
+    d_cam = jnp.where(is_irr, d_irr, d_cam)
+
+    # fluencemeter.cpp: uniform sphere from a point
+    is_flu = stype == FLUENCEMETER
+    d_flu = warp.square_to_uniform_sphere(uv)
+    d_cam = jnp.where(is_flu, d_flu, d_cam)
 
     # spherical.cpp: lat-long over the full sphere
     theta = uv[..., 1] * jnp.pi
