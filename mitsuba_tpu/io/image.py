@@ -56,8 +56,12 @@ def _exr_attr(name: bytes, typ: bytes, data: bytes) -> bytes:
     return name + b"\0" + typ + b"\0" + struct.pack("<i", len(data)) + data
 
 
-def write_exr(path: str, img: np.ndarray) -> None:
-    """Write (H, W, 3) float32 as an uncompressed scanline EXR."""
+def write_exr(path: str, img: np.ndarray, metadata: dict = None) -> None:
+    """Write (H, W, 3) float32 as an uncompressed scanline EXR.
+
+    ``metadata``: str->str render annotations embedded as EXR string
+    attributes (hdrfilm.cpp:63-135 metadata channel; the reference also
+    burns labels into pixels — here labels stay machine-readable)."""
     img = np.asarray(img, np.float32)
     h, w = img.shape[:2]
     if img.ndim == 2:
@@ -75,6 +79,9 @@ def write_exr(path: str, img: np.ndarray) -> None:
     header += _exr_attr(b"pixelAspectRatio", b"float", struct.pack("<f", 1.0))
     header += _exr_attr(b"screenWindowCenter", b"v2f", struct.pack("<ff", 0, 0))
     header += _exr_attr(b"screenWindowWidth", b"float", struct.pack("<f", 1.0))
+    for k, v in (metadata or {}).items():
+        vb = str(v).encode()
+        header += _exr_attr(k.encode(), b"string", vb)
     header += b"\0"
 
     with open(path, "wb") as f:
@@ -147,3 +154,43 @@ def write_image(path: str, img: np.ndarray) -> None:
         write_exr(path, img)
     else:
         raise ValueError(f"unsupported image format: {path}")
+
+
+def read_exr_metadata(path: str) -> dict:
+    """Parse string attributes back out of an EXR header."""
+    import struct as _s
+    out = {}
+    with open(path, "rb") as f:
+        buf = f.read()
+    pos = 8
+    while buf[pos] != 0:
+        e = buf.index(b"\0", pos)
+        name = buf[pos:e].decode()
+        pos = e + 1
+        e = buf.index(b"\0", pos)
+        typ = buf[pos:e].decode()
+        pos = e + 1
+        (n,) = _s.unpack_from("<i", buf, pos)
+        pos += 4
+        if typ == "string":
+            out[name] = buf[pos:pos + n].decode()
+        pos += n
+    return out
+
+
+def write_m(path: str, img: np.ndarray, variable: str = "data") -> None:
+    """MATLAB/Mathematica-readable matrix dump (mfilm.cpp:84-131 EMATLAB
+    mode; the ENumPy mode is write_npy)."""
+    img = np.asarray(img)
+    with open(path, "w") as f:
+        f.write(f"{variable} = [\n")
+        if img.ndim == 2:
+            img = img[..., None]
+        h, w, c = img.shape
+        for y in range(h):
+            row = ", ".join(
+                " ".join(f"{img[y, x, k]:.9g}" for k in range(c))
+                for x in range(w)
+            )
+            f.write("  " + row + (";\n" if y + 1 < h else "\n"))
+        f.write("];\n")

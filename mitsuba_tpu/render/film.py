@@ -132,3 +132,48 @@ def develop(film: Film):
     (Film::develop)."""
     w = film.data[..., 3:4]
     return film.data[..., :3] / jnp.maximum(w, 1e-12)
+
+
+def develop_ldr(film: Film, tonemap: str = "gamma", gamma: float = -1.0,
+                exposure: float = 0.0, key: float = 0.18,
+                burn: float = 0.0):
+    """ldrfilm.cpp: tonemapped low-dynamic-range develop in [0, 1].
+
+    tonemap='gamma': exposure scale + gamma curve (gamma<0 -> sRGB).
+    tonemap='reinhard': photographic operator (Reinhard et al., the
+    ldrfilm.cpp 'reinhard' method with key/burn)."""
+    img = develop(film) * (2.0 ** exposure)
+    if tonemap == "reinhard":
+        # luminance-based photographic tonemapper (ldrfilm.cpp:L>200)
+        lum = (0.212671 * img[..., 0] + 0.715160 * img[..., 1]
+               + 0.072169 * img[..., 2])
+        log_avg = jnp.exp(jnp.mean(jnp.log(1e-3 + lum)))
+        scale = key / log_avg
+        lw = lum * scale
+        lwhite = jnp.maximum(jnp.max(lw), 1e-3) * (1.0 - burn) + burn * 1e4
+        ld = lw * (1.0 + lw / (lwhite * lwhite)) / (1.0 + lw)
+        img = img * m_safe_div(ld, lum)[..., None]
+    if gamma < 0:
+        a = jnp.abs(img)
+        img = jnp.sign(img) * jnp.where(
+            a <= 0.0031308, 12.92 * a,
+            1.055 * jnp.power(jnp.maximum(a, 1e-12), 1.0 / 2.4) - 0.055)
+    else:
+        img = jnp.power(jnp.maximum(img, 0.0), 1.0 / gamma)
+    return jnp.clip(img, 0.0, 1.0)
+
+
+def m_safe_div(a, b):
+    return a / jnp.where(jnp.abs(b) < 1e-12, 1.0, b) * (jnp.abs(b) >= 1e-12)
+
+
+def develop_tiled(film: Film, tile: int = 64):
+    """tiledhdrfilm.cpp analog: develop one tile at a time on the host so
+    images far larger than device memory stream out of HBM tile-by-tile.
+    Yields ((y0, x0), tile_image)."""
+    H, W = film.height, film.width
+    for y0 in range(0, H, tile):
+        for x0 in range(0, W, tile):
+            block = film.data[y0:y0 + tile, x0:x0 + tile]
+            w = block[..., 3:4]
+            yield (y0, x0), block[..., :3] / jnp.maximum(w, 1e-12)

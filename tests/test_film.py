@@ -63,3 +63,53 @@ def test_filter_shapes():
         # approximate unit integral (B-spline family & lanczos normalized)
         integ = v.sum() * (8 / 1000)
         assert 0.8 < integ < 1.3
+
+
+def test_develop_ldr_and_tiled():
+    """ldrfilm gamma/reinhard develops + tiled streaming develop agree with
+    the plain develop (film.py parity for ldrfilm/tiledhdrfilm)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from mitsuba_tpu.render import film as film_mod
+
+    H = W = 8
+    rng = np.random.default_rng(0)
+    img = rng.uniform(0.0, 2.0, (H, W, 3)).astype(np.float32)
+    f = film_mod.Film(data=jnp.concatenate(
+        [jnp.asarray(img), jnp.ones((H, W, 1))], axis=-1))
+
+    ldr = np.asarray(film_mod.develop_ldr(f))           # sRGB
+    assert ldr.min() >= 0.0 and ldr.max() <= 1.0
+    lin = np.asarray(film_mod.develop_ldr(f, gamma=1.0))
+    np.testing.assert_allclose(lin, np.clip(img, 0, 1), atol=1e-5)
+    rh = np.asarray(film_mod.develop_ldr(f, tonemap="reinhard"))
+    assert rh.min() >= 0.0 and rh.max() <= 1.0
+
+    tiles = dict(film_mod.develop_tiled(f, tile=4))
+    full = np.asarray(film_mod.develop(f))
+    for (y0, x0), t in tiles.items():
+        np.testing.assert_allclose(np.asarray(t), full[y0:y0+4, x0:x0+4],
+                                   atol=1e-6)
+
+
+def test_exr_annotations_and_mfilm():
+    """EXR string-attribute metadata round-trip (hdrfilm annotations) and
+    MATLAB matrix dump (mfilm EMATLAB mode)."""
+    import os
+    import tempfile
+    import numpy as np
+    from mitsuba_tpu.io import image as I
+
+    img = np.arange(2 * 3 * 3, dtype=np.float32).reshape(2, 3, 3) / 10.0
+    with tempfile.TemporaryDirectory() as td:
+        p = os.path.join(td, "a.exr")
+        I.write_exr(p, img, metadata={"renderTime": "1.5s", "spp": "64"})
+        back = I.read_exr(p)
+        np.testing.assert_allclose(back, img, atol=1e-6)
+        meta = I.read_exr_metadata(p)
+        assert meta["renderTime"] == "1.5s" and meta["spp"] == "64"
+
+        pm = os.path.join(td, "a.m")
+        I.write_m(pm, img)
+        txt = open(pm).read()
+        assert txt.startswith("data = [") and txt.rstrip().endswith("];")
