@@ -287,3 +287,23 @@ def load_mesh(path: str, shape_index: int = 0) -> MeshData:
     if ext == ".serialized":
         return load_serialized(path, shape_index)
     raise ValueError(f"unsupported mesh format: {path}")
+
+
+def load_hair(path: str):
+    """Mitsuba text .hair format (hair.cpp loader): one 'x y z' vertex per
+    line, blank lines separate fibers. Returns a list of (K, 3) arrays."""
+    import numpy as np
+    fibers = []
+    cur = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                if cur:
+                    fibers.append(np.asarray(cur, np.float64))
+                    cur = []
+                continue
+            cur.append([float(x) for x in line.split()[:3]])
+    if cur:
+        fibers.append(np.asarray(cur, np.float64))
+    return fibers

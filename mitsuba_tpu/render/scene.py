@@ -724,6 +724,31 @@ class SceneBuilder:
         self.meshes.append(_Mesh(verts, faces, mat, em, normals, uvs,
                                  vertex_colors))
 
+    # --- instancing (shapegroup.cpp + instance.cpp) ---
+    def add_shapegroup(self, parts) -> int:
+        """Register a reusable geometry group: ``parts`` is a list of dicts
+        with keys verts/faces/mat (+ optional normals/uvs). Instances are
+        flattened into the global BVH at build time — the TPU-friendly
+        single-level layout (the reference nests a kd-tree per group)."""
+        if not hasattr(self, "_shapegroups"):
+            self._shapegroups = []
+        self._shapegroups.append(list(parts))
+        return len(self._shapegroups) - 1
+
+    def add_instance(self, group: int, to_world=None) -> None:
+        """instance.cpp: replicate a shapegroup under a rigid transform."""
+        from ..core.transform import Transform as _T
+        t = to_world if to_world is not None else _T.identity()
+        for part in self._shapegroups[group]:
+            v = np.asarray(part["verts"], np.float64)
+            n = part.get("normals")
+            self.add_mesh(
+                t.apply_point(v), part["faces"], part["mat"],
+                normals=(t.apply_normal(np.asarray(n, np.float64))
+                         if n is not None else None),
+                uvs=part.get("uvs"),
+            )
+
     def add_sphere(self, center, radius, mat: int, emitter_radiance=None) -> None:
         em = -1
         if emitter_radiance is not None:

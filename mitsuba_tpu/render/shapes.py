@@ -173,3 +173,81 @@ def _box(builder, mat, lo, hi, rot_deg=0.0):
     )
     v, f, uv = cube(t)
     builder.add_mesh(v, f, mat, uvs=uv)
+
+
+def heightfield(heights, extent=(1.0, 1.0), height_scale: float = 1.0,
+                to_world: Transform = None):
+    """heightfield.cpp: regular grid of heights -> triangle mesh.
+
+    heights (N, M) sample the surface over [-ex, ex] x [-ey, ey] in the XY
+    plane, displaced along +Z (the reference ray-marches the implicit grid;
+    a tessellated mesh maps better onto the BVH wavefront). Returns
+    (verts, faces, uvs)."""
+    h = np.asarray(heights, np.float64)
+    N, M = h.shape
+    ex, ey = extent
+    xs = np.linspace(-ex, ex, M)
+    ys = np.linspace(-ey, ey, N)
+    X, Y = np.meshgrid(xs, ys)
+    v = np.stack([X, Y, h * height_scale], axis=-1).reshape(-1, 3)
+    uu, vv = np.meshgrid(np.linspace(0, 1, M), np.linspace(0, 1, N))
+    uv = np.stack([uu, vv], axis=-1).reshape(-1, 2)
+    idx = np.arange(N * M).reshape(N, M)
+    a = idx[:-1, :-1].ravel()
+    b = idx[:-1, 1:].ravel()
+    c = idx[1:, 1:].ravel()
+    d = idx[1:, :-1].ravel()
+    f = np.concatenate([np.stack([a, b, c], -1), np.stack([a, c, d], -1)])
+    if to_world is not None:
+        v = to_world.apply_point(v)
+    return v, f.astype(np.int64), uv
+
+
+def hair_mesh(fibers, radius: float, segments: int = 4,
+              to_world: Transform = None):
+    """hair.cpp: fiber bundles as generalized cylinders.
+
+    ``fibers``: list of (K_i, 3) polyline control points. Each segment is
+    tessellated into a ``segments``-sided tube (the reference intersects
+    capsule segments through a dedicated kd-tree; tubes flatten into the
+    global BVH, the TPU-friendly layout). Returns (verts, faces)."""
+    VS, FS = [], []
+    base = 0
+    for pts in fibers:
+        pts = np.asarray(pts, np.float64)
+        if len(pts) < 2:
+            continue
+        # per-vertex tangents, parallel-transported frame
+        tan = np.gradient(pts, axis=0)
+        tan /= np.maximum(np.linalg.norm(tan, axis=-1, keepdims=True), 1e-12)
+        u = np.array([0.0, 0.0, 1.0])
+        if abs(np.dot(u, tan[0])) > 0.9:
+            u = np.array([1.0, 0.0, 0.0])
+        rings = []
+        for i in range(len(pts)):
+            t = tan[i]
+            u = u - np.dot(u, t) * t
+            u /= max(np.linalg.norm(u), 1e-12)
+            w = np.cross(t, u)
+            ang = 2.0 * np.pi * np.arange(segments) / segments
+            ring = (pts[i][None]
+                    + radius * (np.cos(ang)[:, None] * u[None]
+                                + np.sin(ang)[:, None] * w[None]))
+            rings.append(ring)
+        V = np.concatenate(rings)
+        F = []
+        for i in range(len(pts) - 1):
+            r0 = i * segments
+            r1 = (i + 1) * segments
+            for j in range(segments):
+                jn = (j + 1) % segments
+                F.append([r0 + j, r1 + j, r1 + jn])
+                F.append([r0 + j, r1 + jn, r0 + jn])
+        VS.append(V)
+        FS.append(np.asarray(F, np.int64) + base)
+        base += len(V)
+    v = np.concatenate(VS) if VS else np.zeros((0, 3))
+    f = np.concatenate(FS) if FS else np.zeros((0, 3), np.int64)
+    if to_world is not None and len(v):
+        v = to_world.apply_point(v)
+    return v, f

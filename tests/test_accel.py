@@ -91,3 +91,49 @@ def test_bvh_structure_valid():
         assert not covered[bvh.prim_order[f : f + c]].any()
         covered[bvh.prim_order[f : f + c]] = True
     assert covered.all()
+
+
+def test_heightfield_and_hair_mesh():
+    """heightfield/hair tessellation: watertight-ish meshes that render
+    (shape parity: heightfield.cpp, hair.cpp)."""
+    import numpy as np
+    from mitsuba_tpu.render import shapes
+
+    h = np.zeros((5, 7)); h[2, 3] = 0.5
+    v, f, uv = shapes.heightfield(h, extent=(1, 1))
+    assert v.shape == (35, 3) and f.shape == (48, 3) and uv.shape == (35, 2)
+    assert abs(v[:, 2].max() - 0.5) < 1e-12
+
+    fibers = [np.stack([np.zeros(5), np.linspace(0, 1, 5), np.zeros(5)], -1),
+              np.stack([np.full(3, 0.2), np.linspace(0, 0.5, 3), np.zeros(3)], -1)]
+    v, f = shapes.hair_mesh(fibers, radius=0.01, segments=4)
+    assert len(v) == (5 + 3) * 4 and len(f) == ((4 + 2) * 4) * 2
+    # tube radius respected
+    d = np.linalg.norm(v[:4] - [0, 0, 0], axis=-1)
+    np.testing.assert_allclose(d, 0.01, rtol=1e-6)
+
+
+def test_instancing():
+    """shapegroup/instance: two instanced spheres-as-meshes land in the
+    flattened BVH and both render as hits."""
+    import jax; jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+    import jax.numpy as jnp
+    from mitsuba_tpu.core.transform import Transform
+    from mitsuba_tpu.render.scene import SceneBuilder, ray_intersect
+    from mitsuba_tpu.render import shapes
+
+    b = SceneBuilder()
+    mat = b.add_material()
+    v, f = shapes.sphere_mesh((0, 0, 0), 0.3)[:2]
+    g = b.add_shapegroup([dict(verts=v, faces=f, mat=mat)])
+    b.add_instance(g, Transform.translate([-1.0, 0, 3.0]))
+    b.add_instance(g, Transform.translate([+1.0, 0, 3.0]))
+    scene, static = b.build()
+
+    o = jnp.asarray([[-1.0, 0, 0], [1.0, 0, 0], [0.0, 0, 0]])
+    d = jnp.asarray([[0, 0, 1.0]] * 3)
+    its = ray_intersect(scene, static, o, d, 1e-4, 1e9)
+    hits = np.asarray(its.valid)
+    assert hits[0] and hits[1] and not hits[2]
+    np.testing.assert_allclose(np.asarray(its.t[:2]), 2.7, atol=1e-3)
