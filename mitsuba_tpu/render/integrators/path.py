@@ -103,6 +103,13 @@ def li(scene, static, cfg: IntegratorConfig, o, d, seed, pixel, sample,
         bl = scene_mod.bsdf_locals(scene, its, static)
         nst = scene_mod.bsdf_nested(scene, its, static)
 
+        # --- subsurface term (Subsurface::Lo usage, integrator.h: the
+        # integrator adds its.LoSub at every hit on a subsurface shape)
+        if static.has_sss:
+            from .. import subsurface as sss_mod
+            lo_ss = sss_mod.eval_lo(scene, its, d)
+            L = L + jnp.where(active[..., None], thr * lo_ss, 0.0)
+
         # --- next event estimation (path.cpp:196-263 / scene.cpp:828)
         if static.emitter_types:
             u_nee = rng_mod.uniform4(seed, pixel, sample, dim0 + DIM_NEE)

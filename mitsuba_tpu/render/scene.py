@@ -94,6 +94,7 @@ class Scene(NamedTuple):
     textures: TextureTable
     emitters: em_mod.EmitterTable
     media: MediumTable
+    sss: "SSSTable"           # subsurface table (dipole.cpp parity)
     # bounds
     aabb_lo: jnp.ndarray      # (3,)
     aabb_hi: jnp.ndarray      # (3,)
@@ -115,6 +116,7 @@ class SceneStatic:
     phase_types: tuple = ()    # phase function tags present
     nested_bsdf_types: tuple = ()  # bsdf tags reachable via nested_a/nested_b
     has_normal_maps: bool = False  # any material has a normal/bump texture
+    has_sss: bool = False      # any material references a subsurface profile
 
 
 # === device queries =======================================================
@@ -503,6 +505,7 @@ class SceneBuilder:
         bump_scale: float = 1.0,
         hk_thickness: float = 1.0,
         hk_g: float = 0.0,
+        subsurface: int = -1,
     ) -> int:
         if np.isscalar(eta):
             eta = (float(eta),) * 3
@@ -519,10 +522,40 @@ class SceneBuilder:
                 nested_a=nested_a, nested_b=nested_b, weight=weight,
                 weight_tex=weight_tex, normal_tex=normal_tex,
                 bump_tex=bump_tex, bump_scale=bump_scale,
-                hk_thickness=hk_thickness, hk_g=hk_g,
+                hk_thickness=hk_thickness, hk_g=hk_g, subsurface=subsurface,
             )
         )
         return len(self.mats) - 1
+
+    # --- subsurface (src/subsurface/dipole.cpp parity) ---
+    def add_subsurface(self, sigma_s=(1.0,) * 3, sigma_a=(0.05,) * 3,
+                       g: float = 0.0, eta: float = 1.3) -> int:
+        """Register a dipole BSSRDF profile; reference it from
+        add_material(subsurface=id). Call mitsuba_tpu.render.subsurface.
+        prepare(scene, static) once after build() to sample the irradiance
+        point cloud."""
+        if not hasattr(self, "_subsurfaces"):
+            self._subsurfaces = []
+        self._subsurfaces.append(dict(
+            sigma_s=tuple(np.asarray(sigma_s, float)),
+            sigma_a=tuple(np.asarray(sigma_a, float)),
+            g=float(g), eta=float(eta)))
+        return len(self._subsurfaces) - 1
+
+    def _build_sss(self):
+        from .subsurface import SSSTable
+        t = SSSTable.empty(len(self.mats))
+        t = t._replace(mat_sss=jnp.asarray(
+            [mm.get("subsurface", -1) for mm in self.mats], jnp.int32))
+        subs = getattr(self, "_subsurfaces", [])
+        if subs:
+            t = t._replace(
+                sigma_s=jnp.asarray([s["sigma_s"] for s in subs], jnp.float32),
+                sigma_a=jnp.asarray([s["sigma_a"] for s in subs], jnp.float32),
+                g=jnp.asarray([s["g"] for s in subs], jnp.float32),
+                eta=jnp.asarray([s["eta"] for s in subs], jnp.float32),
+            )
+        return t
 
     # --- media (src/medium, src/volume parity) ---
     @staticmethod
@@ -1076,6 +1109,7 @@ class SceneBuilder:
             textures=textures,
             emitters=emitters,
             media=self._build_media(),
+            sss=self._build_sss(),
             aabb_lo=jnp.asarray(scene_lo, jnp.float32),
             aabb_hi=jnp.asarray(scene_hi, jnp.float32),
             radius=jnp.asarray(radius, jnp.float32),
@@ -1103,6 +1137,7 @@ class SceneBuilder:
                 mm.get("normal_tex", -1) >= 0 or mm.get("bump_tex", -1) >= 0
                 for mm in self.mats
             ),
+            has_sss=any(mm.get("subsurface", -1) >= 0 for mm in self.mats),
         )
         return scene, static
 
