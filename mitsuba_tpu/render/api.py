@@ -429,6 +429,74 @@ def render_multichannel(scene, static, sensor,
     return jnp.concatenate(imgs, axis=-1)
 
 
+def render_irrcache(scene, static, sensor, cfg: icommon.IntegratorConfig,
+                    settings: RenderSettings):
+    """misc/irrcache.cpp: exact direct + Ward-interpolated cached diffuse
+    indirect. Cache built once up front (screen-space records), then the
+    per-sample pass is as cheap as `direct`."""
+    from .integrators import irrcache as int_irrcache
+
+    H, W = settings.height, settings.width
+    cache = jax.jit(
+        lambda sc: int_irrcache.build_cache(sc, static, sensor)
+    )(scene)
+
+    @partial(jax.jit, static_argnums=(4,))
+    def one_pass(scene_, cache_, film, sample_base, n):
+        pixel_idx = jnp.arange(H * W, dtype=jnp.int32)
+        seed = jnp.asarray(settings.seed, jnp.int32)
+        for s in range(n):
+            sample_idx = sample_base + s
+            pos = pixel_sample_positions(settings, pixel_idx, sample_idx, seed)
+            uv = pos / jnp.asarray([W, H], jnp.float32)
+            u_ap = rng_mod.uniform2(seed, pixel_idx, sample_idx,
+                                    icommon.DIM_APERTURE)
+            o, d = sensor_mod.sample_ray(sensor, uv, u_ap)
+            L = int_irrcache.li(scene_, static, cfg, o, d, seed, pixel_idx,
+                                sample_idx, cache=cache_)
+            film = film_mod.splat_aligned(film, L.reshape(H, W, 3)) \
+                if settings.filter_type == rfilter.BOX else \
+                film_mod.splat(film, pos, L, settings.filter_type)
+        return film
+
+    film = film_mod.Film.empty(H, W)
+    s = 0
+    while s < settings.spp:
+        n = min(settings.spp_per_pass, settings.spp - s)
+        film = one_pass(scene, cache, film, jnp.asarray(s, jnp.int32), n)
+        s += n
+    return film_mod.develop(film)
+
+
+def render_motion(scene, static, sensor_t0, sensor_t1,
+                  settings: RenderSettings):
+    """misc/motion.cpp: per-pixel image-space motion vectors of the first
+    hit between two camera poses (the reference differentiates the
+    projection with forward-mode duals; here both projections are exact).
+    Returns (H, W, 3): (dx_pixels, dy_pixels, hit mask)."""
+    H, W = settings.height, settings.width
+
+    @jax.jit
+    def mv(scene_):
+        pixel_idx = jnp.arange(H * W, dtype=jnp.int32)
+        uv = jnp.stack([((pixel_idx % W) + 0.5) / W,
+                        ((pixel_idx // W) + 0.5) / H], axis=-1)
+        o, d = sensor_mod.sample_ray(sensor_t0, uv, jnp.full((H * W, 2), 0.5))
+        from .scene import ray_intersect
+        its = ray_intersect(scene_, static, o, d, 1e-4, jnp.inf)
+        s0 = sensor_mod.sample_direct(sensor_t0, its.p)
+        s1 = sensor_mod.sample_direct(sensor_t1, its.p)
+        res = jnp.asarray([W, H], jnp.float32)
+        delta = (s1.uv - s0.uv) * res
+        ok = its.valid & s0.valid & s1.valid
+        out = jnp.concatenate(
+            [jnp.where(ok[..., None], delta, 0.0),
+             ok[..., None].astype(jnp.float32)], axis=-1)
+        return out.reshape(H, W, 3)
+
+    return mv(scene)
+
+
 def render(scene, static, sensor, cfg: icommon.IntegratorConfig,
            settings: RenderSettings):
     """Full render: jit-compiled sample passes, host loop over spp chunks.
@@ -453,6 +521,8 @@ def render(scene, static, sensor, cfg: icommon.IntegratorConfig,
         return render_sppm(scene, static, sensor, cfg, settings, jitter=False)
     if cfg.type == icommon.PHOTONMAPPER:
         return render_photonmapper(scene, static, sensor, cfg, settings)
+    if cfg.type == icommon.IRRCACHE:
+        return render_irrcache(scene, static, sensor, cfg, settings)
     H, W = settings.height, settings.width
     chunk = min(settings.spp_per_pass, settings.spp)
 
