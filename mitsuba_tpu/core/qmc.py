@@ -84,3 +84,45 @@ def radical_inverse(prime_index, index, rotation=0.0):
         idx = idx // base
     u = result + jnp.asarray(rotation, jnp.float32)
     return u - jnp.floor(u)
+
+
+# --- Faure digit permutations (faure.cpp role) -----------------------------
+# sigma_2 = (0, 1); even b: 2*sigma_{b/2} ++ 2*sigma_{b/2}+1;
+# odd b: insert (b-1)/2 in the middle of sigma_{b-1} and bump values >= it
+# (Faure 1992's recursive construction, computed host-side once).
+def _faure_perm(b):
+    if b == 2:
+        return np.array([0, 1], np.int64)
+    if b % 2 == 0:
+        h = _faure_perm(b // 2)
+        return np.concatenate([2 * h, 2 * h + 1])
+    c = (b - 1) // 2
+    p = _faure_perm(b - 1)
+    p = np.where(p >= c, p + 1, p)
+    return np.concatenate([p[:c], [c], p[c:]])
+
+
+_MAX_BASE = int(_PRIMES[31])
+_FAURE = np.zeros((32, _MAX_BASE), np.uint32)
+for _i, _b in enumerate(_PRIMES[:32]):
+    _FAURE[_i, : int(_b)] = _faure_perm(int(_b))
+
+
+def scrambled_radical_inverse(prime_index, index):
+    """Radical inverse with per-digit Faure permutation
+    (qmc.h scrambledRadicalInverse + faure.cpp permutation tables)."""
+    pi = jnp.clip(prime_index, 0, len(_PRIMES) - 1)
+    base = jnp.asarray(_PRIMES)[pi]
+    base_f = base.astype(jnp.float32)
+    inv_base = 1.0 / base_f
+    perm = jnp.asarray(_FAURE)
+    idx = jnp.asarray(index).astype(jnp.uint32)
+    result = jnp.zeros(jnp.shape(idx), jnp.float32)
+    factor = inv_base
+    for _ in range(16):
+        digit = (idx % base).astype(jnp.int32)
+        sd = perm[pi, digit].astype(jnp.float32)
+        result = result + sd * factor
+        factor = factor * inv_base
+        idx = idx // base
+    return result

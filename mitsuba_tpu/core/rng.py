@@ -55,6 +55,11 @@ INDEPENDENT = 0
 STRATIFIED = 1   # handled at the pixel-position level in render.api
 LD = 2
 HALTON = 3
+HAMMERSLEY = 4   # hammersley.cpp: (i+rot)/N first component + radical inverse
+FAURE = 5        # faure.cpp: Faure-permuted radical inverses
+
+_QMC_TYPES = (LD, HALTON, HAMMERSLEY, FAURE)
+_N_SAMPLES = 16  # hammersley total-sample-count (set_sampler(n=...))
 
 _SAMPLER_TYPE = INDEPENDENT
 
@@ -93,9 +98,11 @@ def _pss_lookup(pixel, dim):
     return tab[pixel_b.astype(jnp.int32), d]
 
 
-def set_sampler(t: int) -> None:
-    global _SAMPLER_TYPE
+def set_sampler(t: int, n: int = None) -> None:
+    global _SAMPLER_TYPE, _N_SAMPLES
     _SAMPLER_TYPE = LD if t == STRATIFIED else t
+    if n is not None:
+        _N_SAMPLES = max(int(n), 1)
 
 
 def get_sampler() -> int:
@@ -126,6 +133,22 @@ def _qmc2(seed, pixel, sample, dim):
         u0 = qmc.radical_inverse((2 * dim_b) % 30, sample_b, rot_x)
         u1 = qmc.radical_inverse((2 * dim_b + 1) % 30, sample_b, rot_y)
         return jnp.stack([u0, u1], axis=-1)
+    if _SAMPLER_TYPE == HAMMERSLEY:
+        # hammersley.cpp: first component enumerates i/N; rotation keeps the
+        # per-(pixel, dim) streams decorrelated
+        rot_x = scr[..., 0].astype(jnp.float32) * jnp.float32(2.3283064365386963e-10)
+        rot_y = scr[..., 1].astype(jnp.float32) * jnp.float32(2.3283064365386963e-10)
+        u0 = (sample_b.astype(jnp.float32) + rot_x) / jnp.float32(_N_SAMPLES)
+        u0 = u0 - jnp.floor(u0)
+        u1 = qmc.radical_inverse(dim_b % 30, sample_b, rot_y)
+        return jnp.stack([u0, u1], axis=-1)
+    if _SAMPLER_TYPE == FAURE:
+        # faure.cpp: deterministic Faure-permuted digits; offset the index
+        # per stream so pixels decorrelate without losing the permutation
+        off = (scr[..., 0] >> jnp.uint32(20)).astype(jnp.uint32)
+        u0 = qmc.scrambled_radical_inverse((2 * dim_b) % 30, sample_b + off)
+        u1 = qmc.scrambled_radical_inverse((2 * dim_b + 1) % 30, sample_b + off)
+        return jnp.stack([u0, u1], axis=-1)
     return qmc.sobol02(sample_b, scr[..., 0], scr[..., 1])
 
 
@@ -150,7 +173,7 @@ def uniform4(seed, pixel, sample, dim):
         axis=-1,
     )
     u = _to_unit_float(pcg4d(ctr))
-    if _SAMPLER_TYPE in (LD, HALTON):
+    if _SAMPLER_TYPE in _QMC_TYPES:
         # the callers' convention is (selector, 2D pair, spare): put the
         # low-discrepancy pair in components 1-2 so lobe/emitter selection
         # stays decorrelated PCG while direction/position sampling gets the
@@ -163,7 +186,7 @@ def uniform4(seed, pixel, sample, dim):
 def uniform1(seed, pixel, sample, dim):
     if _PSS_TABLE is not None:
         return _pss_lookup(pixel, dim)[..., 0]
-    if _SAMPLER_TYPE in (LD, HALTON):
+    if _SAMPLER_TYPE in _QMC_TYPES:
         return _qmc2(seed, pixel, sample, dim)[..., 0]
     return uniform4(seed, pixel, sample, dim)[..., 0]
 
@@ -171,7 +194,7 @@ def uniform1(seed, pixel, sample, dim):
 def uniform2(seed, pixel, sample, dim):
     if _PSS_TABLE is not None:
         return _pss_lookup(pixel, dim)[..., :2]
-    if _SAMPLER_TYPE in (LD, HALTON):
+    if _SAMPLER_TYPE in _QMC_TYPES:
         return _qmc2(seed, pixel, sample, dim)
     return uniform4(seed, pixel, sample, dim)[..., :2]
 

@@ -32,6 +32,8 @@ STRATIFIED = 1
 LDSAMPLER = 2
 SOBOL = 3
 HALTON = 4
+HAMMERSLEY = 5
+FAURE = 6
 
 
 @dataclass(frozen=True)
@@ -94,8 +96,10 @@ def render_pass(scene, static, sensor, cfg: icommon.IntegratorConfig,
     # fix the RNG strategy for everything traced below (samplers parity):
     # ldsampler/sobol -> scrambled (0,2)-sequences, halton -> radical inverse
     rng_mod.set_sampler(
-        {LDSAMPLER: rng_mod.LD, SOBOL: rng_mod.LD, HALTON: rng_mod.HALTON}
-        .get(settings.sampler_type, rng_mod.INDEPENDENT)
+        {LDSAMPLER: rng_mod.LD, SOBOL: rng_mod.LD, HALTON: rng_mod.HALTON,
+         HAMMERSLEY: rng_mod.HAMMERSLEY, FAURE: rng_mod.FAURE}
+        .get(settings.sampler_type, rng_mod.INDEPENDENT),
+        n=settings.spp,
     )
 
     for s in range(n_samples):

@@ -75,3 +75,48 @@ def test_std_normal_moments():
     p = np.asarray(warp.square_to_std_normal(_u2(400_000, 9)))
     assert abs(p.mean()) < 5e-3
     assert abs(p.std() - 1.0) < 5e-3
+
+
+def test_hammersley_faure_samplers():
+    """New sampler strategies: equidistribution + end-to-end agreement
+    (hammersley.cpp, faure.cpp roles)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from mitsuba_tpu.core import qmc, rng
+
+    # faure scrambled radical inverse: base-3 permutation of first digits
+    u = np.asarray(qmc.scrambled_radical_inverse(
+        jnp.asarray(1), jnp.arange(9, dtype=jnp.uint32)))
+    # 9 points in base 3 must be distinct and equidistributed in ninths
+    assert len(np.unique((u * 9).astype(int))) == 9
+
+    # hammersley: first component enumerates i/N (+rotation) exactly
+    rng.set_sampler(rng.HAMMERSLEY, n=8)
+    try:
+        pts = np.asarray(rng.uniform2(
+            jnp.asarray(0), jnp.asarray(5), jnp.arange(8), jnp.asarray(3)))
+        d = np.sort(pts[:, 0])
+        gaps = np.diff(d)
+        np.testing.assert_allclose(gaps, 1.0 / 8.0, atol=1e-5)
+    finally:
+        rng.set_sampler(rng.INDEPENDENT)
+
+
+def test_sampler_types_render_agree(cornell, cornell_cam):
+    """Every sampler strategy converges to the same Cornell mean."""
+    import numpy as np
+    from mitsuba_tpu.render import api, sensor as S
+    from mitsuba_tpu.render.integrators.common import IntegratorConfig, PATH
+
+    scene, static = cornell
+    sens = S.make_perspective(cornell_cam, 39.0, 8, 8)
+    cfg = IntegratorConfig(type=PATH, max_depth=3)
+    means = {}
+    for name, t in [("indep", api.INDEPENDENT), ("hammersley", api.HAMMERSLEY),
+                    ("faure", api.FAURE)]:
+        st = api.RenderSettings(width=8, height=8, spp=64, spp_per_pass=16,
+                                filter_type=0, sampler_type=t)
+        means[name] = np.asarray(api.render(scene, static, sens, cfg, st)).mean()
+    ref = means["indep"]
+    for k, v in means.items():
+        assert abs(v - ref) / ref < 0.05, means
