@@ -1,13 +1,15 @@
 #!/usr/bin/env python
-"""Headline benchmark: rays/s/chip, path tracer depth 5, Cornell box 512^2.
+"""Headline benchmark. Prints ONE JSON line.
 
-Prints ONE JSON line:
-  {"metric": "rays_per_sec_per_chip", "value": N, "unit": "rays/s",
-   "vs_baseline": N, ...}
+Two scenes (BASELINE.md configs; VERDICT r1 item 1):
+  * bunny_x2: two instanced Stanford bunnies (139k tris -> BVH + Pallas
+    swept traversal) on a bitmap-textured floor under an importance-sampled
+    HDR envmap, path depth 5, 512^2 — the BVH/envmap/mipmap scene
+    (kdbench fixture bunny.ply, reference src/utils/kdbench.cpp:60).
+  * cornell: round-1 continuity scene (512^2 depth-5 brute-force Pallas).
 
-The reference publishes no numbers (BASELINE.md); vs_baseline compares
-against the first recorded result of this build (bench_baseline.json,
-committed after round 1) so later rounds track speedups.
+Headline value = BVH-scene rays/s/chip; Cornell + its vs-round-1 ratio are
+in "detail".
 """
 from __future__ import annotations
 
@@ -16,43 +18,102 @@ import os
 import sys
 import time
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 
 
-def main():
-    import numpy as np
+def build_bunny_scene():
+    """139k-tri BVH scene: 2 bunny instances + textured floor + envmap."""
+    from mitsuba_tpu.io import mesh as mesh_io
+    from mitsuba_tpu.render import bsdf as B
+    from mitsuba_tpu.render.scene import SceneBuilder
+    from mitsuba_tpu.core.transform import Transform
 
+    b = SceneBuilder()
+
+    ply = "/root/reference/data/tests/bunny.ply"
+    if os.path.exists(ply):
+        md = mesh_io.load_ply(ply)
+        v = md.positions.astype(np.float64)
+        f = md.faces.astype(np.int64)
+    else:  # fallback: procedural terrain of similar size
+        from mitsuba_tpu.render import shapes
+        h = np.sin(np.linspace(0, 8, 200))[:, None] * np.cos(
+            np.linspace(0, 8, 200))[None, :] * 0.02
+        v, f, _ = shapes.heightfield(h, extent=(0.3, 0.3))
+    # normalize to ~0.2 unit height sitting on y=0
+    lo = v.min(axis=0)
+    hi = v.max(axis=0)
+    scale = 0.2 / (hi[1] - lo[1])
+    v = (v - lo) * scale
+    v[:, 0] -= 0.5 * (hi[0] - lo[0]) * scale
+    v[:, 2] -= 0.5 * (hi[2] - lo[2]) * scale
+
+    white = b.add_material(type=B.DIFFUSE, albedo=(0.6, 0.55, 0.5))
+
+    g = b.add_shapegroup([dict(verts=v, faces=f, mat=white)])
+    b.add_instance(g, Transform.translate([-0.13, 0.0, 0.0]))
+    b.add_instance(g, Transform.translate([0.13, 0.0, 0.05]))
+
+    # textured floor (512^2 checker bitmap -> MIP chain exercised)
+    n = 512
+    yy, xx = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    c = ((xx // 16 + yy // 16) % 2).astype(np.float32)
+    img = np.stack([0.2 + 0.6 * c, 0.25 + 0.45 * c, 0.3 + 0.3 * c], axis=-1)
+    t = b.add_texture_bitmap(img, uv_scale=(8.0, 8.0))
+    floor = b.add_material(type=B.DIFFUSE, albedo=(1.0, 1.0, 1.0), albedo_tex=t)
+    V = [[-2, 0, -2], [2, 0, -2], [2, 0, 2], [-2, 0, 2]]
+    b.add_mesh(V, [[0, 2, 1], [0, 3, 2]], floor,
+               uvs=[[0, 0], [1, 0], [1, 1], [0, 1]])
+
+    # procedural HDR sky: horizon-to-zenith gradient + sun hotspot
+    He, We = 128, 256
+    th = (np.arange(He) + 0.5) / He * np.pi
+    ph = (np.arange(We) + 0.5) / We * 2 * np.pi
+    T, P = np.meshgrid(th, ph, indexing="ij")
+    sky = np.stack([
+        0.35 + 0.3 * np.cos(T), 0.45 + 0.35 * np.cos(T), 0.8 + 0.2 * np.cos(T)
+    ], axis=-1).astype(np.float32)
+    sun_d = np.array([np.sin(0.9) * np.cos(0.7), np.cos(0.9),
+                      np.sin(0.9) * np.sin(0.7)])
+    dirs = np.stack([np.sin(T) * np.cos(P), np.cos(T), np.sin(T) * np.sin(P)],
+                    axis=-1)
+    cosang = dirs @ sun_d
+    sky += (np.clip(cosang, 0, 1) ** 400)[..., None] * np.array(
+        [400.0, 380.0, 300.0], np.float32)
+    b.add_envmap(sky)
+
+    scene, static = b.build()
+    return scene, static
+
+
+def time_scene(scene, static, cam_eye, cam_at, fov, W, H, spp_per_pass,
+               n_passes, max_depth=5, seed0=0):
+    from mitsuba_tpu.core import rng as rng_mod
     from mitsuba_tpu.core.transform import Transform
     from mitsuba_tpu.render import film as film_mod
     from mitsuba_tpu.render import rfilter
     from mitsuba_tpu.render import sensor as sensor_mod
-    from mitsuba_tpu.render import shapes
     from mitsuba_tpu.render.integrators import path as int_path
-    from mitsuba_tpu.render.integrators.common import DIM_APERTURE, DIM_SENSOR, IntegratorConfig, PATH
-    from mitsuba_tpu.render.scene import SceneBuilder
-    from mitsuba_tpu.core import rng as rng_mod
+    from mitsuba_tpu.render.integrators.common import (
+        DIM_APERTURE, DIM_SENSOR, IntegratorConfig, PATH)
 
-    W = H = 512
-    SPP_PER_PASS = 4
-    N_TIMED_PASSES = 8
-
-    b = SceneBuilder()
-    shapes.cornell_box(b)
-    scene, static = b.build()
-    cam = Transform.look_at([0.5, 0.5, -1.39], [0.5, 0.5, 0.5], [0, 1, 0])
-    sens = sensor_mod.make_perspective(cam, 39.0, W, H)
-    cfg = IntegratorConfig(type=PATH, max_depth=5)
+    cam = Transform.look_at(cam_eye, cam_at, [0, 1, 0])
+    sens = sensor_mod.make_perspective(cam, fov, W, H)
+    cfg = IntegratorConfig(type=PATH, max_depth=max_depth)
     pixel_idx = jnp.arange(H * W, dtype=jnp.int32)
-    seed = jnp.asarray(0, jnp.int32)
+    seed = jnp.asarray(seed0, jnp.int32)
+    spread = sensor_mod.pixel_spread(sens, W)
+    rng_mod.set_sampler(rng_mod.INDEPENDENT)
 
     @jax.jit
     def one_pass(scene_, film_data, sample_base):
-        """Full production pass: ray gen + path trace + gaussian film splat
-        (the complete per-spp pipeline, not just Li)."""
+        """Full production pass: ray gen + path trace + gaussian splat."""
         film = film_mod.Film(data=film_data)
         rays = jnp.zeros(())
-        for s in range(SPP_PER_PASS):
+        for s in range(spp_per_pass):
             sample_idx = sample_base + s
             u = rng_mod.uniform2(seed, pixel_idx, sample_idx, DIM_SENSOR)
             px = (pixel_idx % W).astype(jnp.float32)
@@ -61,8 +122,11 @@ def main():
             uv = pos / jnp.asarray([W, H], jnp.float32)
             u_ap = rng_mod.uniform2(seed, pixel_idx, sample_idx, DIM_APERTURE)
             o, d = sensor_mod.sample_ray(sens, uv, u_ap)
-            L, n = int_path.li(scene_, static, cfg, o, d, seed, pixel_idx,
-                               sample_idx, with_stats=True)
+            L, n = int_path.li(
+                scene_, static, cfg, o, d, seed, pixel_idx, sample_idx,
+                with_stats=True,
+                pixel_spread=spread if static.has_textures else None,
+            )
             film = film_mod.splat_grid(
                 film, pos.reshape(H, W, 2), L.reshape(H, W, 3),
                 rfilter.GAUSSIAN, 0,
@@ -70,42 +134,69 @@ def main():
             rays = rays + n
         return film.data, rays
 
-    # warmup / compile
     acc, rays = one_pass(scene, film_mod.Film.empty(H, W).data,
                          jnp.asarray(0, jnp.int32))
     jax.block_until_ready(acc)
 
     t0 = time.perf_counter()
-    total_rays = 0.0
-    for i in range(N_TIMED_PASSES):
-        acc, rays = one_pass(scene, acc, jnp.asarray((i + 1) * SPP_PER_PASS, jnp.int32))
+    for i in range(n_passes):
+        acc, rays = one_pass(scene, acc,
+                             jnp.asarray((i + 1) * spp_per_pass, jnp.int32))
     jax.block_until_ready(acc)
     dt = time.perf_counter() - t0
-    total_rays = float(rays) * N_TIMED_PASSES  # rays/pass is constant given seeds
-    rays_per_sec = total_rays / dt
+    total_rays = float(rays) * n_passes
+    from mitsuba_tpu.render import film as film_mod2
+    img = np.asarray(film_mod2.develop(film_mod2.Film(data=acc)))
+    return dict(
+        rays_per_sec=total_rays / dt,
+        ms_per_spp=dt / (n_passes * spp_per_pass) * 1e3,
+        mean_rgb=[round(float(x), 5) for x in img.mean(axis=(0, 1))],
+        spp_timed=n_passes * spp_per_pass,
+    )
 
-    ms_per_spp = dt / (N_TIMED_PASSES * SPP_PER_PASS) * 1e3
+
+def main():
+    from mitsuba_tpu.render import shapes
+    from mitsuba_tpu.render.scene import SceneBuilder
+
+    W = H = 512
+
+    # --- BVH headline scene ---
+    scene_b, static_b = build_bunny_scene()
+    res_bunny = time_scene(
+        scene_b, static_b, [0.0, 0.25, -0.75], [0.0, 0.1, 0.0], 45.0,
+        W, H, spp_per_pass=2, n_passes=4,
+    )
+
+    # --- Cornell continuity scene ---
+    b = SceneBuilder()
+    shapes.cornell_box(b)
+    scene_c, static_c = b.build()
+    res_cornell = time_scene(
+        scene_c, static_c, [0.5, 0.5, -1.39], [0.5, 0.5, 0.5], 39.0,
+        W, H, spp_per_pass=4, n_passes=8,
+    )
 
     base_path = os.path.join(os.path.dirname(__file__), "bench_baseline.json")
-    vs_baseline = 1.0
+    base = {}
     if os.path.exists(base_path):
         with open(base_path) as f:
             base = json.load(f)
-        if base.get("value"):
-            vs_baseline = rays_per_sec / base["value"]
+    bunny_base = base.get("bunny_value") or res_bunny["rays_per_sec"]
+    cornell_base = base.get("value") or res_cornell["rays_per_sec"]
 
     print(json.dumps({
-        "metric": "rays_per_sec_per_chip",
-        "value": round(rays_per_sec, 1),
+        "metric": "bvh_rays_per_sec_per_chip",
+        "value": round(res_bunny["rays_per_sec"], 1),
         "unit": "rays/s",
-        "vs_baseline": round(vs_baseline, 4),
+        "vs_baseline": round(res_bunny["rays_per_sec"] / bunny_base, 4),
         "detail": {
-            "scene": "cornell_512_depth5_path",
-            "spp_timed": N_TIMED_PASSES * SPP_PER_PASS,
-            "ms_per_spp": round(ms_per_spp, 3),
+            "bunny_x2_512_depth5": res_bunny,
+            "cornell_512_depth5": res_cornell,
+            "cornell_vs_r1_baseline": round(
+                res_cornell["rays_per_sec"] / cornell_base, 4),
+            "n_tris_bunny_scene": int(static_b.n_tris),
             "device": str(jax.devices()[0]),
-            "mean_rgb": [round(float(x), 5) for x in np.asarray(
-                film_mod.develop(film_mod.Film(data=acc))).mean(axis=(0, 1))],
         },
     }))
 

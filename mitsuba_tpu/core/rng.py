@@ -109,6 +109,17 @@ def get_sampler() -> int:
     return _SAMPLER_TYPE
 
 
+# Dimensions whose compact index is below this use prime-base radical
+# inverses (authentic halton/hammersley/faure character); beyond it we
+# switch to XOR-scrambled (0,2) pairs.  Rationale: the radical inverse in
+# base b enumerated to N samples has star discrepancy ~ b/N — at typical
+# 16-256 spp bases beyond ~40 are near-linear ramps whose deterministic
+# integration error does NOT average out across pixels (the round-1
+# hammersley/faure +6-8% brightness bias), while the scrambled
+# (0,2)-sequence keeps perfect base-2 stratification at every dim.
+_PRIME_DIMS = 5
+
+
 def _qmc2(seed, pixel, sample, dim):
     """One scrambled low-discrepancy 2D point per (pixel, dim) stream."""
     from . import qmc
@@ -127,29 +138,47 @@ def _qmc2(seed, pixel, sample, dim):
             axis=-1,
         )
     )
-    if _SAMPLER_TYPE == HALTON:
-        rot_x = scr[..., 0].astype(jnp.float32) * jnp.float32(2.3283064365386963e-10)
-        rot_y = scr[..., 1].astype(jnp.float32) * jnp.float32(2.3283064365386963e-10)
-        u0 = qmc.radical_inverse((2 * dim_b) % 30, sample_b, rot_x)
-        u1 = qmc.radical_inverse((2 * dim_b + 1) % 30, sample_b, rot_y)
-        return jnp.stack([u0, u1], axis=-1)
-    if _SAMPLER_TYPE == HAMMERSLEY:
-        # hammersley.cpp: first component enumerates i/N; rotation keeps the
-        # per-(pixel, dim) streams decorrelated
-        rot_x = scr[..., 0].astype(jnp.float32) * jnp.float32(2.3283064365386963e-10)
-        rot_y = scr[..., 1].astype(jnp.float32) * jnp.float32(2.3283064365386963e-10)
-        u0 = (sample_b.astype(jnp.float32) + rot_x) / jnp.float32(_N_SAMPLES)
-        u0 = u0 - jnp.floor(u0)
-        u1 = qmc.radical_inverse(dim_b % 30, sample_b, rot_y)
-        return jnp.stack([u0, u1], axis=-1)
+    sob = qmc.sobol02(sample_b, scr[..., 0], scr[..., 1])
+    if _SAMPLER_TYPE == LD:
+        return sob
+    # compact dim index: integrators reserve slots 2-3 (unused) between the
+    # sensor/aperture dims and DIM_BASE=4, so skip them to keep the first
+    # bounce on small prime bases
+    qd = jnp.where(dim_b >= 4, dim_b - 2, dim_b).astype(jnp.int32)
+    use_primes = qd < _PRIME_DIMS
+    pi0 = jnp.clip(2 * qd, 0, 30)
+    pi1 = jnp.clip(2 * qd + 1, 0, 31)
+    rot_x = scr[..., 0].astype(jnp.float32) * jnp.float32(2.3283064365386963e-10)
+    rot_y = scr[..., 1].astype(jnp.float32) * jnp.float32(2.3283064365386963e-10)
     if _SAMPLER_TYPE == FAURE:
-        # faure.cpp: deterministic Faure-permuted digits; offset the index
-        # per stream so pixels decorrelate without losing the permutation
-        off = (scr[..., 0] >> jnp.uint32(20)).astype(jnp.uint32)
-        u0 = qmc.scrambled_radical_inverse((2 * dim_b) % 30, sample_b + off)
-        u1 = qmc.scrambled_radical_inverse((2 * dim_b + 1) % 30, sample_b + off)
-        return jnp.stack([u0, u1], axis=-1)
-    return qmc.sobol02(sample_b, scr[..., 0], scr[..., 1])
+        # faure.cpp: Faure-permuted digits; per-(pixel, dim) Cranley-
+        # Patterson rotation decorrelates streams (a CP rotation keeps every
+        # marginal exactly uniform, unlike the round-1 index-offset scheme)
+        u0 = qmc.scrambled_radical_inverse(pi0, sample_b) + rot_x
+        u1 = qmc.scrambled_radical_inverse(pi1, sample_b) + rot_y
+        u0, u1 = u0 - jnp.floor(u0), u1 - jnp.floor(u1)
+    else:
+        # halton.cpp / hammersley.cpp: dim-indexed prime radical inverses
+        u0 = qmc.radical_inverse(pi0, sample_b, rot_x)
+        u1 = qmc.radical_inverse(pi1, sample_b, rot_y)
+    if _SAMPLER_TYPE == HAMMERSLEY:
+        # hammersley.cpp: i/N is the FIRST dimension only (image plane);
+        # round-1 bug: returning (i+rot)/N for every dim made all path
+        # dimensions share one stratified coordinate -> ~8% bright bias.
+        # The raw ramp is monotone in i and thus correlated with the
+        # near-monotone low-index prime radical inverses of later dims; a
+        # per-pixel XOR permutation of the index (exact for power-of-two N)
+        # keeps the 1/N stratification while decorrelating the order.
+        n = _N_SAMPLES
+        if n & (n - 1) == 0 and n > 1:
+            s_lo = (sample_b.astype(jnp.uint32) ^ scr[..., 2]) & jnp.uint32(n - 1)
+        else:
+            s_lo = sample_b.astype(jnp.uint32) % jnp.uint32(n)
+        strat = (s_lo.astype(jnp.float32) + rot_x) / jnp.float32(n)
+        strat = strat - jnp.floor(strat)
+        u0 = jnp.where(dim_b == 0, strat, u0)
+    pr = jnp.stack([u0, u1], axis=-1)
+    return jnp.where(use_primes[..., None], pr, sob)
 
 
 def uniform4(seed, pixel, sample, dim):

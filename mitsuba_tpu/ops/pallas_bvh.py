@@ -69,7 +69,8 @@ def pack_nodes(bvh, p0, e1, e2) -> np.ndarray:
     return rows
 
 
-def _traverse(rows_ref, oxv, oyv, ozv, dxv, dyv, dzv, tmin, tmaxv):
+def _traverse(rows_ref, oxv, oyv, ozv, dxv, dyv, dzv, tmin, tmaxv,
+              any_hit=False):
     N = rows_ref.shape[0]
 
     def safe_inv(x):
@@ -161,17 +162,24 @@ def _traverse(rows_ref, oxv, oyv, ozv, dxv, dyv, dzv, tmin, tmaxv):
         descend = hit_box & jnp.logical_not(is_leaf)
         nxt = jnp.where(descend, cur + 1, skip)
         node = jnp.where(here, nxt, node)
+        if any_hit:
+            # occlusion query: a lane retires on its first hit
+            # (skdtree.cpp:207 boolean shadow-ray fast path)
+            node = jnp.where(bi >= 0, N, node)
         return jnp.min(node), node, bt, bi, bu, bv
 
     _, _, bt, bi, bu, bv = jax.lax.while_loop(cond, body, state0)
     return bt, bi, bu, bv
 
 
-@partial(jax.jit, static_argnames=("interpret",))
-def bvh_traverse_packed(rows, o, d, t_min, t_max, interpret=False):
+@partial(jax.jit, static_argnames=("interpret", "any_hit"))
+def bvh_traverse_packed(rows, o, d, t_min, t_max, interpret=False,
+                        any_hit=False):
     """Swept traversal of rays (R, 3) against packed node rows (N, ROW).
 
-    Returns (hit, t, tri_idx (original ids), u, v).
+    Returns (hit, t, tri_idx (original ids), u, v). With ``any_hit`` lanes
+    retire on the first hit (boolean occlusion semantics; t/idx/u/v then
+    report an arbitrary hit, not the closest).
     """
     R = o.shape[0]
     Rp = -(-R // BLOCK) * BLOCK
@@ -196,7 +204,7 @@ def bvh_traverse_packed(rows, o, d, t_min, t_max, interpret=False):
     def kern(rows_r, *rest):
         ins = [r[0] for r in rest[:8]]
         outs = rest[8:]
-        bt, bi, bu, bv = _traverse(rows_r, *ins)
+        bt, bi, bu, bv = _traverse(rows_r, *ins, any_hit=any_hit)
         outs[0][0] = bt
         outs[1][0] = bi
         outs[2][0] = bu
@@ -263,16 +271,17 @@ def ray_sort_keys(o, d, scene_lo, scene_hi):
     return (octant << jnp.uint32(29)) | (morton >> jnp.uint32(1))
 
 
-@partial(jax.jit, static_argnames=("sort",))
-def bvh_traverse(rows, o, d, t_min, t_max, scene_lo, scene_hi, sort=True):
+@partial(jax.jit, static_argnames=("sort", "any_hit"))
+def bvh_traverse(rows, o, d, t_min, t_max, scene_lo, scene_hi, sort=True,
+                 any_hit=False):
     """Traversal with optional coherence sort (sort -> traverse -> unsort)."""
     if not sort:
-        return bvh_traverse_packed(rows, o, d, t_min, t_max)
+        return bvh_traverse_packed(rows, o, d, t_min, t_max, any_hit=any_hit)
     R = o.shape[0]
     key = ray_sort_keys(o, d, scene_lo, scene_hi)
     order = jnp.argsort(key)
     inv = jnp.argsort(order)
     res = bvh_traverse_packed(
-        rows, o[order], d[order], t_min[order], t_max[order]
+        rows, o[order], d[order], t_min[order], t_max[order], any_hit=any_hit
     )
     return tuple(x[inv] for x in res)

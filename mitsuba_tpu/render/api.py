@@ -45,6 +45,9 @@ class RenderSettings:
     sampler_type: int = INDEPENDENT
     spp_per_pass: int = 4
     seed: int = 0
+    # ray-cone MIP texture filtering at the primary hit (mipmap.h trilinear
+    # role; reference filters bitmap textures through ray differentials)
+    mip: bool = True
 
 
 def _li_fn(cfg: icommon.IntegratorConfig):
@@ -108,7 +111,12 @@ def render_pass(scene, static, sensor, cfg: icommon.IntegratorConfig,
         uv = pos / jnp.asarray([W, H], jnp.float32)
         u_ap = rng_mod.uniform2(seed, pixel_idx, sample_idx, icommon.DIM_APERTURE)
         o, d = sensor_mod.sample_ray(sensor, uv, u_ap)
-        L = li(scene, static, cfg, o, d, seed, pixel_idx, sample_idx)
+        if settings.mip and cfg.type == icommon.PATH and static.has_textures:
+            spread = sensor_mod.pixel_spread(sensor, W)
+            L = li(scene, static, cfg, o, d, seed, pixel_idx, sample_idx,
+                   pixel_spread=spread)
+        else:
+            L = li(scene, static, cfg, o, d, seed, pixel_idx, sample_idx)
         # measurement sensors (irradiancemeter/fluencemeter): constant
         # importance turning the sampled-radiance mean into E / fluence
         L = L * sensor_mod.ray_weight(sensor)
@@ -441,6 +449,10 @@ def render_irrcache(scene, static, sensor, cfg: icommon.IntegratorConfig,
     from .integrators import irrcache as int_irrcache
 
     H, W = settings.height, settings.width
+    # the cache estimate must not inherit whatever sampler strategy a
+    # previous render left in the module-global state (advisor finding):
+    # build it with plain PCG, which build_cache's dim layout assumes
+    rng_mod.set_sampler(rng_mod.INDEPENDENT)
     cache = jax.jit(
         lambda sc: int_irrcache.build_cache(sc, static, sensor)
     )(scene)

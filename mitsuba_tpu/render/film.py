@@ -150,8 +150,12 @@ def develop_ldr(film: Film, tonemap: str = "gamma", gamma: float = -1.0,
         log_avg = jnp.exp(jnp.mean(jnp.log(1e-3 + lum)))
         scale = key / log_avg
         lw = lum * scale
-        lwhite = jnp.maximum(jnp.max(lw), 1e-3) * (1.0 - burn) + burn * 1e4
-        ld = lw * (1.0 + lw / (lwhite * lwhite)) / (1.0 + lw)
+        # ldrfilm.cpp: invWp2 = 1 / (Lwhite^2 (1-burn)^4) — burn -> 1 drives
+        # invWp2 up, clipping MORE highlights (round-1 had this inverted)
+        lwhite = jnp.maximum(jnp.max(lw), 1e-3)
+        inv_wp2 = 1.0 / (lwhite * lwhite
+                         * jnp.maximum(1.0 - burn, 1e-8) ** 4)
+        ld = lw * (1.0 + lw * inv_wp2) / (1.0 + lw)
         img = img * m_safe_div(ld, lum)[..., None]
     if gamma < 0:
         a = jnp.abs(img)

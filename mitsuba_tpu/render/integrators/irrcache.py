@@ -55,8 +55,12 @@ def build_cache(scene, static, sensor, grid: int = 32,
     inv_dist = jnp.zeros(C)
     nrm = its.sh_frame.n
     for k in range(n_hemi):
-        u = rng_mod.uniform4(jnp.asarray(seed, jnp.int32), ij, k, 0)
-        d_loc = warp.square_to_cosine_hemisphere(u[..., :2])
+        # disjoint streams: dim 0 drives the hemisphere direction, dim 1 the
+        # emitter NEE draw (sharing a component correlated gather direction
+        # with light selection and biased E — round-1 advisor finding)
+        u_dir = rng_mod.uniform2(jnp.asarray(seed, jnp.int32), ij, k, 0)
+        u = rng_mod.uniform4(jnp.asarray(seed, jnp.int32), ij, k, 1)
+        d_loc = warp.square_to_cosine_hemisphere(u_dir)
         d_w = its.sh_frame.to_world(d_loc)
         o_h = ray_offset(its.p, its.gn, d_w)
         h2 = scene_mod.ray_intersect(scene, static, o_h, d_w, 1e-4, jnp.inf,

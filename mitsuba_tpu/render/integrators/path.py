@@ -45,10 +45,14 @@ class _PathState(NamedTuple):
 
 
 def li(scene, static, cfg: IntegratorConfig, o, d, seed, pixel, sample,
-       with_stats: bool = False):
+       with_stats: bool = False, pixel_spread=None):
     """Radiance along primary rays o,d (R,3). Returns (R,3), or
     ((R,3), n_rays) with the exact number of issued ray queries (the
-    honest kdbench-style rays/s denominator) when with_stats."""
+    honest kdbench-style rays/s denominator) when with_stats.
+
+    ``pixel_spread``: angular pixel size (radians) for ray-cone texture
+    filtering at the first bounce (sensor.h sampleRayDifferential +
+    mipmap.h trilinear role); None disables MIP lookups."""
     R = o.shape[0]
     types = static.bsdf_types
     max_depth = cfg.max_depth if cfg.max_depth > 0 else 16
@@ -100,7 +104,14 @@ def li(scene, static, cfg: IntegratorConfig, o, d, seed, pixel, sample,
         # the final vertex only collects emission (path.cpp depth check)
         extend = active & (depth < max_depth)
 
-        bl = scene_mod.bsdf_locals(scene, its, static)
+        # ray-cone MIP footprint, primary hits only (the reference also
+        # filters only through the camera ray's differentials)
+        fp_uv = None
+        if pixel_spread is not None and static.has_textures:
+            fp_uv = jnp.where(
+                first, scene_mod.uv_footprint(scene, its, pixel_spread), 0.0
+            )
+        bl = scene_mod.bsdf_locals(scene, its, static, fp_uv=fp_uv)
         nst = scene_mod.bsdf_nested(scene, its, static)
 
         # --- subsurface term (Subsurface::Lo usage, integrator.h: the

@@ -343,7 +343,7 @@ def occluded(scene: Scene, static: SceneStatic, o, d, t_min, t_max, active=None)
 
                 h, _, _, _, _ = bvh_traverse(
                     scene.bvh_rows, o, d, t_min, t_max,
-                    scene.aabb_lo, scene.aabb_hi,
+                    scene.aabb_lo, scene.aabb_hi, any_hit=True,
                 )
                 occ = h
             else:
@@ -368,7 +368,37 @@ def occluded(scene: Scene, static: SceneStatic, o, d, t_min, t_max, active=None)
     return occ
 
 
-def eval_albedo(scene: Scene, its: Interaction, static: SceneStatic = None):
+def uv_footprint(scene: Scene, its: Interaction, spread):
+    """Ray-cone texture footprint in uv units (the TPU-native analog of the
+    reference's ray differentials, sensor.h:143-265 sampleRayDifferential +
+    intersection dpdu/dpdv -> mipmap.h LOD).
+
+    ``spread`` is the angular pixel size at the sensor (radians). A ray
+    cone of diameter t*spread lands on the surface stretched by 1/cos
+    theta; the triangle's uv density sqrt(area_uv/area_world) converts the
+    world-space diameter to uv units. Returns (R,) — 0 on non-triangle or
+    invalid lanes (-> finest level)."""
+    T = scene.tri_p0.shape[0]
+    ti = jnp.clip(its.prim_id, 0, max(T - 1, 0))
+    e1 = scene.tri_e1[ti]
+    e2 = scene.tri_e2[ti]
+    duv1 = scene.tri_uv1[ti] - scene.tri_uv0[ti]
+    duv2 = scene.tri_uv2[ti] - scene.tri_uv0[ti]
+    area_w = 0.5 * m.length(jnp.cross(e1, e2))
+    area_uv = 0.5 * jnp.abs(
+        duv1[..., 0] * duv2[..., 1] - duv1[..., 1] * duv2[..., 0]
+    )
+    density = jnp.sqrt(m.safe_div(area_uv, jnp.maximum(area_w, 1e-20)))
+    cos_t = jnp.abs(m.dot(its.wi_world, its.gn))
+    world_d = jnp.where(jnp.isfinite(its.t), its.t, 0.0) * spread
+    # geometric mean of the minor (d) and major (d/cos) footprint axes
+    fp = world_d * density / jnp.sqrt(jnp.clip(cos_t, 1e-2, 1.0))
+    tri_lane = its.valid & (its.prim_id >= 0) & (its.prim_id < T)
+    return jnp.where(tri_lane, fp, 0.0)
+
+
+def eval_albedo(scene: Scene, its: Interaction, static: SceneStatic = None,
+                fp_uv=None):
     """Diffuse reflectance with texture lookup (Texture::eval path)."""
     mid = jnp.maximum(its.mat_id, 0)
     base = scene.materials.albedo[mid]
@@ -377,12 +407,17 @@ def eval_albedo(scene: Scene, its: Interaction, static: SceneStatic = None):
     tex_id = scene.materials.albedo_tex[mid]
     from .texture import eval_texture
 
+    # sphere hits store prim_id = T + sphere_id with stale triangle
+    # barycentrics; mark them -1 so bary-driven textures (wireframe/
+    # vertexcolors/curvature) fall back to color0 instead of rendering an
+    # unrelated triangle's attributes (advisor finding)
+    prim = jnp.where(its.prim_id < scene.tri_p0.shape[0], its.prim_id, -1)
     return eval_texture(scene.textures, tex_id, its.uv, base,
-                        bary=its.bary, prim=its.prim_id)
+                        bary=its.bary, prim=prim, fp_uv=fp_uv)
 
 
 def bsdf_locals(scene: Scene, its: Interaction,
-                static: SceneStatic = None) -> bsdf_mod.BsdfLocals:
+                static: SceneStatic = None, fp_uv=None) -> bsdf_mod.BsdfLocals:
     opacity = None
     blend = None
     if static is None or static.has_textures:
@@ -399,7 +434,7 @@ def bsdf_locals(scene: Scene, its: Interaction,
         blend = eval_texture(scene.textures, w_tex, its.uv, w_base)[..., 0]
     return bsdf_mod.gather_locals(
         scene.materials, its.mat_id,
-        albedo_override=eval_albedo(scene, its, static),
+        albedo_override=eval_albedo(scene, its, static, fp_uv=fp_uv),
         opacity_override=opacity, blend_override=blend,
     )
 
@@ -783,13 +818,22 @@ class SceneBuilder:
             )
 
     def add_sphere(self, center, radius, mat: int, emitter_radiance=None) -> None:
-        em = -1
         if emitter_radiance is not None:
-            em = self._add_area_emitter(tuple(np.asarray(emitter_radiance, dtype=float)))
-            # analytic-sphere area emitters are sampled via tessellation:
-            # keep the analytic hit but also tessellate for NEE (round-1
-            # simplification documented in docs/PARITY.md)
-        self.spheres.append((np.asarray(center, float), float(radius), mat, em))
+            # Area emitters need triangles to participate in the monotone
+            # NEE CDF (render/emitter.py:105-131); an analytic sphere with
+            # tri_count == 0 would make searchsorted land on a DIFFERENT
+            # emitter's triangle while pairing it with this sphere's
+            # radiance (round-1 latent bug). Tessellate instead — same
+            # policy as the XML loader (io/mitsuba_xml.py sphere branch);
+            # reference analog: sphere.cpp sampleDirect cone sampling.
+            from . import shapes as shapes_mod
+            v, f, n, uv = shapes_mod.sphere_mesh(
+                np.asarray(center, float), float(radius), 48, 96
+            )
+            self.add_mesh(v, f, mat, emitter_radiance=emitter_radiance,
+                          normals=n, uvs=uv)
+            return
+        self.spheres.append((np.asarray(center, float), float(radius), mat, -1))
 
     # --- emitters ---
     def _add_area_emitter(self, radiance) -> int:

@@ -78,6 +78,13 @@ def make_perspective(to_world: Transform, fov_deg: float, width: int, height: in
     )
 
 
+def pixel_spread(sensor: Sensor, width: int):
+    """Angular size of one pixel at the image center (radians) — the
+    ray-cone surrogate of sensor.h:143-265 sampleRayDifferential's
+    one-pixel-offset differential rays."""
+    return 2.0 * sensor.tan_half_fov / jnp.float32(width)
+
+
 def make_thinlens(to_world: Transform, fov_deg: float, width: int, height: int,
                   aperture_radius: float, focus_distance: float,
                   fov_axis: str = "x") -> Sensor:

@@ -69,14 +69,26 @@ class TextureTable(NamedTuple):
 
 
 def eval_texture(tt: TextureTable, tex_id, uv, default,
-                 bary=None, prim=None, lod=None):
+                 bary=None, prim=None, lod=None, fp_uv=None):
     """Evaluate textures for a batch: tex_id (R,) int32 (-1 -> default),
     uv (R, 2), default (R, 3). Optional: bary (R, 2) triangle barycentrics
     + prim (R,) triangle ids (wireframe/vertexcolors/curvature), lod (R,)
-    MIP level (trilinear; None -> finest). Returns (R, 3)."""
+    MIP level (trilinear; None -> finest), fp_uv (R,) ray-cone footprint
+    in uv units from which the MIP LOD is derived per texture size
+    (mipmap.h:861 trilinear role). Returns (R, 3)."""
     tid = jnp.maximum(tex_id, 0)
     ttype = tt.type[tid]
     uv_t = uv * tt.uv_scale[tid] + tt.uv_offset[tid]
+
+    if lod is None and fp_uv is not None:
+        # footprint in texel units at the base level -> fractional level;
+        # uv_scale stretches the footprint in texture space too
+        bi_fp = jnp.maximum(tt.bitmap_idx[tid], 0)
+        size = jnp.maximum(tt.sizes[bi_fp, 0], tt.sizes[bi_fp, 1])
+        s_mag = jnp.max(jnp.abs(tt.uv_scale[tid]), axis=-1)
+        texels = fp_uv * s_mag * size.astype(jnp.float32)
+        lod = jnp.where(texels > 1.0,
+                        jnp.log2(jnp.maximum(texels, 1.0)), 0.0)
 
     out = tt.color0[tid]
 
@@ -106,11 +118,14 @@ def eval_texture(tt: TextureTable, tex_id, uv, default,
         b1 = bary[..., 0]
         b2 = bary[..., 1]
         b0 = 1.0 - b1 - b2
+        # prim < 0 marks lanes without valid triangle barycentrics (e.g.
+        # analytic-sphere hits): bary branches fall back to color0 there
+        tri_ok = jnp.ones(b0.shape, bool) if prim is None else (prim >= 0)
 
         # wireframe.cpp: edge color within line_width of a triangle edge
         # (barycentric distance; the reference measures world-space distance
         # — equivalent up to per-triangle scaling)
-        edge = jnp.minimum(jnp.minimum(b0, b1), b2) < lw
+        edge = tri_ok & (jnp.minimum(jnp.minimum(b0, b1), b2) < lw)
         v_wire = jnp.where(edge[..., None], tt.color1[tid], tt.color0[tid])
         out = jnp.where((ttype == TEX_WIREFRAME)[..., None], v_wire, out)
 
@@ -119,6 +134,7 @@ def eval_texture(tt: TextureTable, tex_id, uv, default,
             attr = (b0[..., None] * tt.corner0[ti]
                     + b1[..., None] * tt.corner1[ti]
                     + b2[..., None] * tt.corner2[ti])
+            attr = jnp.where(tri_ok[..., None], attr, tt.color0[tid])
             # vertexcolors.cpp: interpolated per-vertex colors
             out = jnp.where((ttype == TEX_VERTEXCOLORS)[..., None], attr, out)
             # curvature.cpp: signed curvature -> diverging red/blue map
@@ -126,6 +142,7 @@ def eval_texture(tt: TextureTable, tex_id, uv, default,
             pos = jnp.clip(k, 0.0, 1.0)
             neg = jnp.clip(-k, 0.0, 1.0)
             v_curv = jnp.stack([pos, jnp.zeros_like(pos), neg], axis=-1)
+            v_curv = jnp.where(tri_ok[..., None], v_curv, tt.color0[tid])
             out = jnp.where((ttype == TEX_CURVATURE)[..., None], v_curv, out)
 
     curv_sel = ttype == TEX_CURVATURE  # scale already applied to curvature
@@ -203,7 +220,7 @@ def _bitmap_trilinear(tt: TextureTable, tid, uv, lod):
     lod = jnp.clip(lod, 0.0, max_l - 1e-3)
     l0 = jnp.floor(lod).astype(jnp.int32)
     fl = (lod - l0.astype(jnp.float32))[..., None]
-    lo = jnp.where(l0 == 0,
+    lo = jnp.where((l0 == 0)[..., None],
                    _bitmap_bilinear_level(tt, tid, uv, None),
                    _bitmap_bilinear_level(tt, tid, uv, l0))
     hi = _bitmap_bilinear_level(tt, tid, uv, l0 + 1)

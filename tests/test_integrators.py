@@ -185,3 +185,46 @@ def test_multichannel_stacks(cornell, cornell_cam):
                            filter_type=rfilter.BOX)))
     assert img.shape == (8, 8, 6)
     assert np.isfinite(img).all()
+
+
+def test_sphere_emitter_builder_nee():
+    """VERDICT r1 item 5 regression: a builder-API sphere area emitter must
+    give matching NEE+MIS and BSDF-sampling-only renders (the round-1 code
+    registered a tri-less AREA emitter whose CDF entry aliased another
+    emitter's triangles)."""
+    import numpy as np
+    from mitsuba_tpu.core.transform import Transform
+    from mitsuba_tpu.render import api, sensor as S
+    from mitsuba_tpu.render.integrators.common import IntegratorConfig, PATH
+    from mitsuba_tpu.render.scene import SceneBuilder
+
+    def build(radiance):
+        b = SceneBuilder()
+        mat = b.add_material(albedo=(0.7, 0.7, 0.7))
+        V = [[-2, 0, -2], [2, 0, -2], [2, 0, 2], [-2, 0, 2]]
+        b.add_mesh(V, [[0, 1, 2], [0, 2, 3]], mat)
+        black = b.add_material(albedo=(0.0, 0.0, 0.0))
+        b.add_sphere([0.0, 1.5, 0.0], 0.4, black, emitter_radiance=radiance)
+        return b.build()
+
+    scene, static = build((8.0, 8.0, 8.0))
+    cam = Transform.look_at([0, 1.2, -4.0], [0, 0.5, 0], [0, 1, 0])
+    sens = S.make_perspective(cam, 45.0, 16, 16)
+    st = api.RenderSettings(width=16, height=16, spp=512, spp_per_pass=16,
+                            filter_type=0)
+    # NEE+MIS vs emission-only-through-BSDF-sampling (hide_emitters False,
+    # max_depth 2 direct lighting): the two estimators must agree
+    img_mis = np.asarray(api.render(scene, static, sens,
+                                    IntegratorConfig(type=PATH, max_depth=2), st))
+    # pure BSDF sampling: depth-2 path with NEE disabled is not exposed;
+    # instead check against an analytic bound: the sphere subtends solid
+    # angle 2*pi*(1-cos(alpha)) from the floor point below it; mean floor
+    # brightness must be near albedo/pi * L * solid_angle * cos terms.
+    # Use the ptracer (independent adjoint estimator) as the oracle.
+    from mitsuba_tpu.render.integrators.common import PTRACER
+    img_pt = np.asarray(api.render_light_traced(
+        scene, static, sens, IntegratorConfig(type=PTRACER, max_depth=2),
+        api.RenderSettings(width=16, height=16, spp=512, spp_per_pass=16,
+                           filter_type=0)))
+    m_mis, m_pt = img_mis.mean(), img_pt.mean()
+    assert abs(m_mis - m_pt) / max(m_pt, 1e-9) < 0.08, (m_mis, m_pt)
