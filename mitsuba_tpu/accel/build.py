@@ -192,6 +192,31 @@ def _build_bvh_numpy(prim_lo: np.ndarray, prim_hi: np.ndarray,
     )
 
 
+def treelet_roots(bvh: BVH, max_nodes: int = 1024,
+                  max_roots: int = 128) -> np.ndarray:
+    """Cut the preorder node stream into treelets: subtrees of at most
+    ``max_nodes`` rows whose parents exceed it. In the threaded DFS layout a
+    subtree rooted at i is exactly the row range [i, skip[i]), so bounding a
+    traversal to a treelet is a per-lane range clamp (ops/pallas_bvh.py).
+
+    Walk: descend internal nodes until the subtree fits, emit, jump to its
+    skip. ``max_nodes`` is doubled until at most ``max_roots`` treelets
+    result (keeps the dense ray x root-AABB phase one or two K-scans)."""
+    N = len(bvh.skip)
+    while True:
+        roots = []
+        i = 0
+        while i < N:
+            if bvh.skip[i] - i <= max_nodes:
+                roots.append(i)
+                i = int(bvh.skip[i])
+            else:
+                i += 1
+        if len(roots) <= max_roots:
+            return np.asarray(roots, np.int32)
+        max_nodes *= 2
+
+
 def triangle_aabbs(p0, p1, p2):
     lo = np.minimum(np.minimum(p0, p1), p2)
     hi = np.maximum(np.maximum(p0, p1), p2)

@@ -69,23 +69,33 @@ def pack_nodes(bvh, p0, e1, e2) -> np.ndarray:
     return rows
 
 
-def _traverse(rows_ref, oxv, oyv, ozv, dxv, dyv, dzv, tmin, tmaxv,
-              any_hit=False):
+def _safe_inv_v(x):
+    tiny = jnp.abs(x) < 1e-12
+    return 1.0 / jnp.where(tiny, jnp.where(x < 0, -1e-12, 1e-12), x)
+
+
+STRIP = 8        # rows processed per sweep iteration
+
+
+def _sweep(rows_ref, oxv, oyv, ozv, dxv, dyv, dzv, inx, iny, inz, tmin,
+           node0, endv, bt, bi, bu, bv, any_hit=False, strip=STRIP):
+    """One bounded sweep: lanes start at node0 and retire when their
+    pointer leaves [*, endv). Returns updated (bt, bi, bu, bv).
+
+    Strip-mined: each while iteration processes ``strip`` consecutive rows
+    with branchless (masked) leaf tests. The expensive per-iteration
+    serial chain — cross-lane min reduction -> scalar row loads -> loop
+    branch — then amortizes over ``strip`` rows, and the scalar loads of
+    row base+j+1 are address-independent of row base+j's vector results so
+    Mosaic can software-pipeline them. In-strip skip-chaining works
+    because preorder successors (cur+1 and skip[cur]) are strictly
+    increasing: a lane bounced to a later row of the same strip is picked
+    up by that sub-step."""
     N = rows_ref.shape[0]
 
-    def safe_inv(x):
-        tiny = jnp.abs(x) < 1e-12
-        return 1.0 / jnp.where(tiny, jnp.where(x < 0, -1e-12, 1e-12), x)
-
-    inx, iny, inz = safe_inv(dxv), safe_inv(dyv), safe_inv(dzv)
-
     state0 = (
-        jnp.zeros((), jnp.int32),                   # scalar: current min node
-        jnp.zeros((BS, LANES), jnp.int32),
-        tmaxv,
-        jnp.full((BS, LANES), -1, jnp.int32),
-        jnp.zeros((BS, LANES), jnp.float32),
-        jnp.zeros((BS, LANES), jnp.float32),
+        jnp.min(node0),                             # scalar: current min node
+        node0, bt, bi, bu, bv,
     )
 
     def cond(st):
@@ -94,46 +104,48 @@ def _traverse(rows_ref, oxv, oyv, ozv, dxv, dyv, dzv, tmin, tmaxv,
         return st[0] < N
 
     def body(st):
-        cur, node, bt, bi, bu, bv = st
-        here = node == cur
+        base, node, bt, bi, bu, bv = st
 
-        def f(c):
-            return rows_ref[cur, c]
+        for j in range(strip):
+            cur = base + j
+            curc = jnp.minimum(cur, N - 1)   # clamped for safe reads only
+            here = node == cur
 
-        def i32(c):
-            return rows_ref[cur, c].astype(jnp.int32)
+            def f(c):
+                return rows_ref[curc, c]
 
-        lox, loy, loz = f(_C_LO), f(_C_LO + 1), f(_C_LO + 2)
-        hix, hiy, hiz = f(_C_HI), f(_C_HI + 1), f(_C_HI + 2)
-        skip = i32(_C_SKIP)
-        cnt = i32(_C_COUNT)
-        is_leaf = cnt > 0
+            def i32(c):
+                return rows_ref[curc, c].astype(jnp.int32)
 
-        t0x = (lox - oxv) * inx
-        t1x = (hix - oxv) * inx
-        t0y = (loy - oyv) * iny
-        t1y = (hiy - oyv) * iny
-        t0z = (loz - ozv) * inz
-        t1z = (hiz - ozv) * inz
-        tnear = jnp.maximum(
-            jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
-            jnp.maximum(jnp.minimum(t0z, t1z), tmin),
-        )
-        tfar = jnp.minimum(
-            jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
-            jnp.minimum(jnp.maximum(t0z, t1z), bt),
-        )
-        hit_box = here & (tnear <= tfar)
+            lox, loy, loz = f(_C_LO), f(_C_LO + 1), f(_C_LO + 2)
+            hix, hiy, hiz = f(_C_HI), f(_C_HI + 1), f(_C_HI + 2)
+            skip = i32(_C_SKIP)
+            cnt = i32(_C_COUNT)
+            is_leaf = cnt > 0
 
-        def leaf_tests(carry):
-            bt, bi, bu, bv = carry
+            t0x = (lox - oxv) * inx
+            t1x = (hix - oxv) * inx
+            t0y = (loy - oyv) * iny
+            t1y = (hiy - oyv) * iny
+            t0z = (loz - ozv) * inz
+            t1z = (hiz - ozv) * inz
+            tnear = jnp.maximum(
+                jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+                jnp.maximum(jnp.minimum(t0z, t1z), tmin),
+            )
+            tfar = jnp.minimum(
+                jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+                jnp.minimum(jnp.maximum(t0z, t1z), bt),
+            )
+            hit_box = here & (tnear <= tfar)
+
             for k in range(LEAF_SIZE):
-                base = _C_TRI + 10 * k
+                tbase = _C_TRI + 10 * k
                 valid = hit_box & (k < cnt)  # cnt==0 on internal nodes
-                p0x, p0y, p0z = f(base), f(base + 1), f(base + 2)
-                e1x, e1y, e1z = f(base + 3), f(base + 4), f(base + 5)
-                e2x, e2y, e2z = f(base + 6), f(base + 7), f(base + 8)
-                tid = i32(base + 9)
+                p0x, p0y, p0z = f(tbase), f(tbase + 1), f(tbase + 2)
+                e1x, e1y, e1z = f(tbase + 3), f(tbase + 4), f(tbase + 5)
+                e2x, e2y, e2z = f(tbase + 6), f(tbase + 7), f(tbase + 8)
+                tid = i32(tbase + 9)
                 pvx = dyv * e2z - dzv * e2y
                 pvy = dzv * e2x - dxv * e2z
                 pvz = dxv * e2y - dyv * e2x
@@ -153,40 +165,68 @@ def _traverse(rows_ref, oxv, oyv, ozv, dxv, dyv, dzv, tmin, tmaxv,
                 bi = jnp.where(h, tid, bi)
                 bu = jnp.where(h, uu, bu)
                 bv = jnp.where(h, vv, bv)
-            return bt, bi, bu, bv
 
-        bt, bi, bu, bv = jax.lax.cond(
-            is_leaf, leaf_tests, lambda c: c, (bt, bi, bu, bv)
-        )
+            descend = hit_box & jnp.logical_not(is_leaf)
+            nxt = jnp.where(descend, cur + 1, skip)
+            node = jnp.where(here, nxt, node)
+            # lanes leaving their [start, end) treelet range retire
+            node = jnp.where(node >= endv, N, node)
+            if any_hit:
+                # occlusion query: a lane retires on its first hit
+                # (skdtree.cpp:207 boolean shadow-ray fast path)
+                node = jnp.where(bi >= 0, N, node)
 
-        descend = hit_box & jnp.logical_not(is_leaf)
-        nxt = jnp.where(descend, cur + 1, skip)
-        node = jnp.where(here, nxt, node)
-        if any_hit:
-            # occlusion query: a lane retires on its first hit
-            # (skdtree.cpp:207 boolean shadow-ray fast path)
-            node = jnp.where(bi >= 0, N, node)
         return jnp.min(node), node, bt, bi, bu, bv
 
     _, _, bt, bi, bu, bv = jax.lax.while_loop(cond, body, state0)
     return bt, bi, bu, bv
 
 
+def _traverse(rows_ref, oxv, oyv, ozv, dxv, dyv, dzv, tmin, tmaxv,
+              startv=None, endv=None, any_hit=False):
+    """Swept traversal body. ``startv``/``endv`` bound each lane to the
+    preorder node range [start, end) — a subtree in DFS layout is exactly
+    such a range, so treelet-restricted traversal reuses the same sweep
+    (lanes whose pointer leaves their range retire)."""
+    N = rows_ref.shape[0]
+    inx, iny, inz = _safe_inv_v(dxv), _safe_inv_v(dyv), _safe_inv_v(dzv)
+
+    if startv is None:
+        startv = jnp.zeros((BS, LANES), jnp.int32)
+    if endv is None:
+        endv = jnp.full((BS, LANES), N, jnp.int32)
+    node0 = jnp.where(startv < endv, startv, N)
+
+    return _sweep(
+        rows_ref, oxv, oyv, ozv, dxv, dyv, dzv, inx, iny, inz, tmin,
+        node0, endv,
+        tmaxv,
+        jnp.full((BS, LANES), -1, jnp.int32),
+        jnp.zeros((BS, LANES), jnp.float32),
+        jnp.zeros((BS, LANES), jnp.float32),
+        any_hit=any_hit,
+    )
+
+
 @partial(jax.jit, static_argnames=("interpret", "any_hit"))
-def bvh_traverse_packed(rows, o, d, t_min, t_max, interpret=False,
-                        any_hit=False):
+def bvh_traverse_packed(rows, o, d, t_min, t_max, start=None, end=None,
+                        interpret=False, any_hit=False):
     """Swept traversal of rays (R, 3) against packed node rows (N, ROW).
 
     Returns (hit, t, tri_idx (original ids), u, v). With ``any_hit`` lanes
     retire on the first hit (boolean occlusion semantics; t/idx/u/v then
-    report an arbitrary hit, not the closest).
+    report an arbitrary hit, not the closest). Optional per-ray ``start``/
+    ``end`` (int32) restrict each lane to the preorder node range
+    [start, end) — the treelet fast path; pass start=end to disable a lane.
     """
     R = o.shape[0]
+    N = rows.shape[0]
     Rp = -(-R // BLOCK) * BLOCK
     grid = Rp // BLOCK
+    bounded = start is not None
 
-    def plane(x, fill):
-        x = jnp.broadcast_to(x, (R,))
+    def plane(x, fill, dtype=jnp.float32):
+        x = jnp.broadcast_to(jnp.asarray(x, dtype), (R,))
         x = jnp.pad(x, (0, Rp - R), constant_values=fill)
         return x.reshape(grid, BS, LANES)
 
@@ -195,6 +235,9 @@ def bvh_traverse_packed(rows, o, d, t_min, t_max, interpret=False,
         plane(d[:, 0], 1.0), plane(d[:, 1], 0.0), plane(d[:, 2], 0.0),
         plane(t_min, 0.0), plane(t_max, -1.0),
     ]
+    if bounded:
+        rays += [plane(start, N, jnp.int32), plane(end, 0, jnp.int32)]
+    n_in = len(rays)
 
     ray_spec = pl.BlockSpec((1, BS, LANES), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
@@ -202,9 +245,14 @@ def bvh_traverse_packed(rows, o, d, t_min, t_max, interpret=False,
                             memory_space=pltpu.VMEM)
 
     def kern(rows_r, *rest):
-        ins = [r[0] for r in rest[:8]]
-        outs = rest[8:]
-        bt, bi, bu, bv = _traverse(rows_r, *ins, any_hit=any_hit)
+        ins = [r[0] for r in rest[:n_in]]
+        outs = rest[n_in:]
+        if bounded:
+            bt, bi, bu, bv = _traverse(
+                rows_r, *ins[:8], startv=ins[8], endv=ins[9], any_hit=any_hit
+            )
+        else:
+            bt, bi, bu, bv = _traverse(rows_r, *ins, any_hit=any_hit)
         outs[0][0] = bt
         outs[1][0] = bi
         outs[2][0] = bu
@@ -213,7 +261,7 @@ def bvh_traverse_packed(rows, o, d, t_min, t_max, interpret=False,
     out = pl.pallas_call(
         kern,
         grid=(grid,),
-        in_specs=[tab_spec] + [ray_spec] * 8,
+        in_specs=[tab_spec] + [ray_spec] * n_in,
         out_specs=[ray_spec] * 4,
         out_shape=[
             jax.ShapeDtypeStruct((grid, BS, LANES), jnp.float32),
@@ -285,3 +333,236 @@ def bvh_traverse(rows, o, d, t_min, t_max, scene_lo, scene_hi, sort=True,
         rows, o[order], d[order], t_min[order], t_max[order], any_hit=any_hit
     )
     return tuple(x[inv] for x in res)
+
+
+# --- two-level treelet traversal --------------------------------------------
+#
+# The swept kernel's cost per ray block is the UNION of its lanes' node
+# paths: incoherent (bounce) blocks degenerate to a full-tree sweep — the
+# measured cliff is ~4 decades (bunny.ply: 3391 Mrays/s coherent primaries
+# vs 0.37 Mrays/s random rays). The fix is to manufacture coherence: cut
+# the preorder node stream into K treelets (contiguous subtree ranges of
+# <= ~1k rows, accel/build.treelet_roots), test every ray against the K
+# root AABBs densely (pure VPU work — compute is cheap, serial sweeps are
+# not), and process one treelet per ray per round, nearest-entry first,
+# with lanes grouped by treelet id. Each round's sweep is then bounded by
+# the treelet size instead of the whole tree, and closest-hit pruning
+# (entry > current best t) usually retires rays after 1-2 rounds.
+# This replaces the reference's per-ray recursive kd-tree descent
+# (skdtree.cpp:112) the TPU way: sorting + dense box tests + bounded sweeps.
+
+def _safe_inv3(d):
+    tiny = jnp.abs(d) < 1e-12
+    return 1.0 / jnp.where(tiny, jnp.where(d < 0, -1e-12, 1e-12), d)
+
+
+def _nearest_treelet(o, inv_d, t_min, t_max, tl_lo, tl_hi):
+    """First-round treelet per ray (XLA side, used only for the coherence
+    sort key): index of the nearest treelet root box the ray enters."""
+    R = o.shape[0]
+    K = tl_lo.shape[0]
+
+    def step(carry, k):
+        be, bk = carry
+        lo = jax.lax.dynamic_slice_in_dim(tl_lo, k, 1, axis=0)[0]
+        hi = jax.lax.dynamic_slice_in_dim(tl_hi, k, 1, axis=0)[0]
+        t0 = (lo[None, :] - o) * inv_d
+        t1 = (hi[None, :] - o) * inv_d
+        tn = jnp.maximum(jnp.max(jnp.minimum(t0, t1), axis=1), t_min)
+        tf = jnp.minimum(jnp.min(jnp.maximum(t0, t1), axis=1), t_max)
+        e = jnp.where(tn <= tf, tn, jnp.inf)
+        ok = e < be
+        return (jnp.where(ok, e, be), jnp.where(ok, k, bk)), None
+
+    init = (jnp.full((R,), jnp.inf), jnp.zeros((R,), jnp.int32))
+    (be, bk), _ = jax.lax.scan(step, init, jnp.arange(K, dtype=jnp.int32))
+    return bk
+
+
+def _treelet_rounds(tab_ref, rows_ref, oxv, oyv, ozv, dxv, dyv, dzv,
+                    tmin, tmaxv, K, any_hit=False):
+    """Persistent per-block round loop: every round each lane picks its
+    nearest PENDING treelet whose entry beats its best hit (dense unrolled
+    K-way root-box test — scalar treelet constants against vector lanes, no
+    gathers), then a bounded sweep runs that treelet's row range. The block
+    retires when no lane can improve. One kernel launch total; blocks
+    finish independently."""
+    N = rows_ref.shape[0]
+    W32 = -(-K // 32)
+    INF = jnp.float32(np.inf)
+    inx, iny, inz = _safe_inv_v(dxv), _safe_inv_v(dyv), _safe_inv_v(dzv)
+
+    pend0 = []
+    for w in range(W32):
+        bits = 0xFFFFFFFF if (w + 1) * 32 <= K else (1 << (K - w * 32)) - 1
+        pend0.append(jnp.full((BS, LANES), np.uint32(bits), jnp.uint32))
+
+    st0 = (
+        jnp.asarray(True),
+        tuple(pend0),
+        tmaxv,
+        jnp.full((BS, LANES), -1, jnp.int32),
+        jnp.zeros((BS, LANES), jnp.float32),
+        jnp.zeros((BS, LANES), jnp.float32),
+    )
+
+    def cond(st):
+        return st[0]
+
+    def body(st):
+        _, pend, bt, bi, bu, bv = st
+
+        best_e = jnp.full((BS, LANES), INF, jnp.float32)
+        selv = jnp.full((BS, LANES), -1, jnp.int32)
+        startv = jnp.full((BS, LANES), N, jnp.int32)
+        endv = jnp.zeros((BS, LANES), jnp.int32)
+        for k in range(K):
+            lo0 = tab_ref[k, 0]
+            lo1 = tab_ref[k, 1]
+            lo2 = tab_ref[k, 2]
+            hi0 = tab_ref[k, 3]
+            hi1 = tab_ref[k, 4]
+            hi2 = tab_ref[k, 5]
+            rt = tab_ref[k, 6].astype(jnp.int32)
+            sk = tab_ref[k, 7].astype(jnp.int32)
+            live = (pend[k // 32] >> jnp.uint32(k % 32)) & jnp.uint32(1)
+            t0x = (lo0 - oxv) * inx
+            t1x = (hi0 - oxv) * inx
+            t0y = (lo1 - oyv) * iny
+            t1y = (hi1 - oyv) * iny
+            t0z = (lo2 - ozv) * inz
+            t1z = (hi2 - ozv) * inz
+            tn = jnp.maximum(
+                jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+                jnp.maximum(jnp.minimum(t0z, t1z), tmin),
+            )
+            tf = jnp.minimum(
+                jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+                jnp.minimum(jnp.maximum(t0z, t1z), bt),
+            )
+            e = jnp.where((live == 1) & (tn <= tf), tn, INF)
+            upd = e < best_e
+            best_e = jnp.where(upd, e, best_e)
+            selv = jnp.where(upd, k, selv)
+            startv = jnp.where(upd, rt, startv)
+            endv = jnp.where(upd, sk, endv)
+
+        active = best_e < INF
+        # clear the selected bit
+        new_pend = []
+        for w in range(W32):
+            bit = jnp.where(
+                active & (selv >> 5 == w),
+                jnp.uint32(1) << (selv & 31).astype(jnp.uint32),
+                jnp.uint32(0),
+            )
+            new_pend.append(pend[w] & ~bit)
+
+        node0 = jnp.where(active, startv, N)
+        endv = jnp.where(active, endv, 0)
+        bt, bi, bu, bv = _sweep(
+            rows_ref, oxv, oyv, ozv, dxv, dyv, dzv, inx, iny, inz, tmin,
+            node0, endv, bt, bi, bu, bv, any_hit=any_hit,
+        )
+        if any_hit:
+            # occluded lanes retire outright
+            occ = bi >= 0
+            new_pend = [jnp.where(occ, jnp.uint32(0), p) for p in new_pend]
+        return (jnp.any(active), tuple(new_pend), bt, bi, bu, bv)
+
+    _, _, bt, bi, bu, bv = jax.lax.while_loop(cond, body, st0)
+    return bt, bi, bu, bv
+
+
+@partial(jax.jit, static_argnames=("sort", "any_hit", "interpret"))
+def bvh_traverse_treelets(rows, tl_root, tl_skip, tl_lo, tl_hi,
+                          o, d, t_min, t_max, scene_lo, scene_hi,
+                          sort=True, any_hit=False, interpret=False):
+    """Two-level traversal: the preorder node stream is cut into K treelets
+    (contiguous subtree row ranges, accel/build.treelet_roots); rays are
+    sorted once by (nearest treelet, octant, origin morton) and the kernel
+    loops rounds of dense treelet selection + bounded sweeps per block.
+
+    This replaces the reference's per-ray recursive kd-tree descent
+    (skdtree.cpp:112) the TPU way — the swept kernel alone collapses ~4
+    decades on incoherent rays (union of lane paths -> whole tree); the
+    treelet cut bounds each round's union by the treelet size."""
+    R = o.shape[0]
+    K = int(tl_root.shape[0])
+    t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (R,))
+    t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (R,))
+
+    if sort:
+        # one dense pass orders rays by (first treelet, octant, morton):
+        # blocks then share treelet ranges and direction signs, keeping each
+        # round's union near one path
+        inv_d = _safe_inv3(d)
+        sel0 = _nearest_treelet(o, inv_d, t_min, t_max, tl_lo, tl_hi)
+        key = ray_sort_keys(o, d, scene_lo, scene_hi)
+        key = (sel0.astype(jnp.uint32) << jnp.uint32(24)) | (key >> jnp.uint32(8))
+        order = jnp.argsort(key)
+        inv = jnp.argsort(order)
+        o, d = o[order], d[order]
+        t_min, t_max = t_min[order], t_max[order]
+
+    N = rows.shape[0]
+    Rp = -(-R // BLOCK) * BLOCK
+    grid = Rp // BLOCK
+
+    def plane(x, fill):
+        x = jnp.broadcast_to(jnp.asarray(x, jnp.float32), (R,))
+        x = jnp.pad(x, (0, Rp - R), constant_values=fill)
+        return x.reshape(grid, BS, LANES)
+
+    rays = [
+        plane(o[:, 0], 0.0), plane(o[:, 1], 0.0), plane(o[:, 2], 0.0),
+        plane(d[:, 0], 1.0), plane(d[:, 1], 0.0), plane(d[:, 2], 0.0),
+        plane(t_min, 0.0), plane(t_max, -1.0),
+    ]
+    # treelet table (K, 8): lo, hi, root, skip (ints exact below 2^24)
+    tab = jnp.concatenate(
+        [tl_lo, tl_hi,
+         tl_root[:, None].astype(jnp.float32),
+         tl_skip[:, None].astype(jnp.float32)], axis=1,
+    )
+
+    ray_spec = pl.BlockSpec((1, BS, LANES), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    tab_spec = pl.BlockSpec(tab.shape, lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
+    rows_spec = pl.BlockSpec(rows.shape, lambda i: (0, 0),
+                             memory_space=pltpu.VMEM)
+
+    def kern(tab_r, rows_r, *rest):
+        ins = [r[0] for r in rest[:8]]
+        outs = rest[8:]
+        bt, bi, bu, bv = _treelet_rounds(tab_r, rows_r, *ins, K=K,
+                                         any_hit=any_hit)
+        outs[0][0] = bt
+        outs[1][0] = bi
+        outs[2][0] = bu
+        outs[3][0] = bv
+
+    out = pl.pallas_call(
+        kern,
+        grid=(grid,),
+        in_specs=[tab_spec, rows_spec] + [ray_spec] * 8,
+        out_specs=[ray_spec] * 4,
+        out_shape=[
+            jax.ShapeDtypeStruct((grid, BS, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((grid, BS, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((grid, BS, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((grid, BS, LANES), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=112 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(tab, rows, *rays)
+
+    t, idx, u, v = (x.reshape(Rp)[:R] for x in out)
+    hitm = idx >= 0
+    res = (hitm, jnp.where(hitm, t, jnp.inf), idx, u, v)
+    if sort:
+        res = tuple(x[inv] for x in res)
+    return res

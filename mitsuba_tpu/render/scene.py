@@ -89,6 +89,12 @@ class Scene(NamedTuple):
     # acceleration
     bvh: DeviceBVH
     bvh_rows: jnp.ndarray     # (N, 64) packed fat-node rows (pallas traversal)
+    # treelet cut of the preorder node stream (two-level traversal; K >= 2
+    # enables the bounded-sweep fast path for incoherent rays)
+    tl_root: jnp.ndarray      # (K,) int32 treelet root rows
+    tl_skip: jnp.ndarray      # (K,) int32 end of each root's subtree range
+    tl_lo: jnp.ndarray        # (K, 3) root AABBs
+    tl_hi: jnp.ndarray        # (K, 3)
     # tables
     materials: bsdf_mod.MaterialTable
     textures: TextureTable
@@ -138,12 +144,19 @@ def ray_intersect(scene: Scene, static: SceneStatic, o, d, t_min, t_max,
     if T > 0:
         if static.use_bvh:
             if _pallas_bvh_ok(static):
-                from ..ops.pallas_bvh import bvh_traverse
+                from ..ops.pallas_bvh import bvh_traverse, bvh_traverse_treelets
 
-                hit_t, tri_t, tri_idx, tri_u, tri_v = bvh_traverse(
-                    scene.bvh_rows, o, d, t_min, t_max,
-                    scene.aabb_lo, scene.aabb_hi,
-                )
+                if scene.tl_root.shape[0] > 1:
+                    hit_t, tri_t, tri_idx, tri_u, tri_v = bvh_traverse_treelets(
+                        scene.bvh_rows, scene.tl_root, scene.tl_skip,
+                        scene.tl_lo, scene.tl_hi, o, d, t_min, t_max,
+                        scene.aabb_lo, scene.aabb_hi,
+                    )
+                else:
+                    hit_t, tri_t, tri_idx, tri_u, tri_v = bvh_traverse(
+                        scene.bvh_rows, o, d, t_min, t_max,
+                        scene.aabb_lo, scene.aabb_hi,
+                    )
             else:
                 hit_t, tri_t, tri_idx, tri_u, tri_v = bvh_closest_hit(
                     scene.bvh, o, d, t_min, t_max
@@ -339,12 +352,19 @@ def occluded(scene: Scene, static: SceneStatic, o, d, t_min, t_max, active=None)
     if static.n_tris > 0:
         if static.use_bvh:
             if _pallas_bvh_ok(static):
-                from ..ops.pallas_bvh import bvh_traverse
+                from ..ops.pallas_bvh import bvh_traverse, bvh_traverse_treelets
 
-                h, _, _, _, _ = bvh_traverse(
-                    scene.bvh_rows, o, d, t_min, t_max,
-                    scene.aabb_lo, scene.aabb_hi, any_hit=True,
-                )
+                if scene.tl_root.shape[0] > 1:
+                    h, _, _, _, _ = bvh_traverse_treelets(
+                        scene.bvh_rows, scene.tl_root, scene.tl_skip,
+                        scene.tl_lo, scene.tl_hi, o, d, t_min, t_max,
+                        scene.aabb_lo, scene.aabb_hi, any_hit=True,
+                    )
+                else:
+                    h, _, _, _, _ = bvh_traverse(
+                        scene.bvh_rows, o, d, t_min, t_max,
+                        scene.aabb_lo, scene.aabb_hi, any_hit=True,
+                    )
                 occ = h
             else:
                 occ = bvh_any_hit(scene.bvh, o, d, t_min, t_max)
@@ -1098,16 +1118,26 @@ class SceneBuilder:
         # BVH (only if worthwhile)
         use_bvh = T > BRUTE_FORCE_MAX_TRIS
         bvh_rows = np.zeros((1, 64), np.float32)
+        tl_root = np.zeros(1, np.int32)
+        tl_skip = np.ones(1, np.int32)
+        tl_lo = np.zeros((1, 3), np.float32)
+        tl_hi = np.zeros((1, 3), np.float32)
         if T > 0:
             lo, hi = triangle_aabbs(tp0, tp0 + te1, tp0 + te2)
             if use_bvh:
                 host_bvh = build_bvh(lo, hi)
+                from ..accel.build import treelet_roots
                 from ..ops.pallas_bvh import pack_nodes
 
                 bvh_rows = pack_nodes(
                     host_bvh, tp0.astype(np.float32), te1.astype(np.float32),
                     te2.astype(np.float32),
                 )
+                roots = treelet_roots(host_bvh)
+                tl_root = roots
+                tl_skip = host_bvh.skip[roots].astype(np.int32)
+                tl_lo = host_bvh.lo[roots]
+                tl_hi = host_bvh.hi[roots]
             else:
                 host_bvh = build_bvh(lo, hi, leaf_size=max(T, 1))
             bvh = DeviceBVH.from_host(
@@ -1149,6 +1179,10 @@ class SceneBuilder:
             sph_emitter=jnp.asarray(se),
             bvh=bvh,
             bvh_rows=jnp.asarray(bvh_rows),
+            tl_root=jnp.asarray(tl_root),
+            tl_skip=jnp.asarray(tl_skip),
+            tl_lo=jnp.asarray(tl_lo, jnp.float32),
+            tl_hi=jnp.asarray(tl_hi, jnp.float32),
             materials=materials,
             textures=textures,
             emitters=emitters,
