@@ -126,3 +126,55 @@ def scrambled_radical_inverse(prime_index, index):
         factor = factor * inv_base
         idx = idx // base
     return result
+
+
+# --- true multi-dimensional Sobol' sequence ---------------------------------
+# The reference ships a 108k-LoC generated direction-number table
+# (src/samplers/sobolseq.cpp, sobol.cpp:277). We derive equivalent
+# direction numbers at import time from scipy's Joe-Kuo data (public
+# new-joe-kuo-6.21201 direction numbers) instead of copying the table:
+# scipy.stats.qmc.Sobol stores v_k scaled to 30 bits; we left-shift to 32.
+
+SOBOL_MAX_DIMS = 64
+_SOBOL_SV = None
+
+
+def sobol_direction_numbers(d: int = SOBOL_MAX_DIMS) -> np.ndarray:
+    """(d, 32) uint32 direction numbers v_k (bit 31 = first output bit)."""
+    global _SOBOL_SV
+    if _SOBOL_SV is not None and _SOBOL_SV.shape[0] >= d:
+        return _SOBOL_SV[:d]
+    try:
+        from scipy.stats import qmc as _q
+
+        sv30 = np.asarray(_q.Sobol(d=d, scramble=False)._sv, np.uint64)
+        bits = sv30.shape[1]
+        sv = (sv30 << np.uint64(32 - bits)).astype(np.uint32)
+        sv = np.concatenate(
+            [sv, np.zeros((d, 32 - bits), np.uint32)], axis=1)
+    except Exception:  # pragma: no cover - scipy always present in CI
+        # fallback: dims 0/1 exact, higher dims degrade to scrambled (0,2)
+        sv = np.zeros((d, 32), np.uint32)
+        sv[0] = np.uint32(1) << (31 - np.arange(32, dtype=np.uint32))
+        sv[1:] = _V1[None, :]
+    _SOBOL_SV = sv
+    return sv
+
+
+def sobol_nd(dim, index, scramble=0):
+    """Sobol' sample of dimension ``dim`` (traced int array) at ``index``.
+
+    x_n = XOR over set bits i of n of v_{dim,i}, then a per-stream XOR
+    scramble (preserves base-2 nets). Returns float32 in [0, 1).
+    """
+    sv = jnp.asarray(sobol_direction_numbers())
+    dim_b, idx_b = jnp.broadcast_arrays(jnp.asarray(dim), jnp.asarray(index))
+    dimc = jnp.clip(dim_b.astype(jnp.int32), 0, SOBOL_MAX_DIMS - 1)
+    idx = idx_b.astype(jnp.uint32)
+    rows = sv[dimc]  # (..., 32)
+    x = jnp.zeros_like(idx)
+    for i in range(32):
+        bit = (idx >> jnp.uint32(i)) & jnp.uint32(1)
+        x = x ^ jnp.where(bit == 1, rows[..., i], jnp.uint32(0))
+    x = x ^ jnp.asarray(scramble, jnp.uint32)
+    return (x >> jnp.uint32(8)).astype(jnp.float32) * jnp.float32(5.9604645e-8)

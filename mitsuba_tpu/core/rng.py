@@ -57,8 +57,9 @@ LD = 2
 HALTON = 3
 HAMMERSLEY = 4   # hammersley.cpp: (i+rot)/N first component + radical inverse
 FAURE = 5        # faure.cpp: Faure-permuted radical inverses
+SOBOL = 6        # sobol.cpp: true multi-dim Sobol directions (qmc.sobol_nd)
 
-_QMC_TYPES = (LD, HALTON, HAMMERSLEY, FAURE)
+_QMC_TYPES = (LD, HALTON, HAMMERSLEY, FAURE, SOBOL)
 _N_SAMPLES = 16  # hammersley total-sample-count (set_sampler(n=...))
 
 _SAMPLER_TYPE = INDEPENDENT
@@ -138,6 +139,13 @@ def _qmc2(seed, pixel, sample, dim):
             axis=-1,
         )
     )
+    if _SAMPLER_TYPE == SOBOL:
+        # sobol.cpp role: one Sobol dimension pair per integrator dim, the
+        # same XOR scramble decorrelating (pixel, dim) streams
+        qd_s = jnp.where(dim_b >= 4, dim_b - 2, dim_b).astype(jnp.int32)
+        u0 = qmc.sobol_nd(2 * qd_s, sample_b, scr[..., 0])
+        u1 = qmc.sobol_nd(2 * qd_s + 1, sample_b, scr[..., 1])
+        return jnp.stack([u0, u1], axis=-1)
     sob = qmc.sobol02(sample_b, scr[..., 0], scr[..., 1])
     if _SAMPLER_TYPE == LD:
         return sob

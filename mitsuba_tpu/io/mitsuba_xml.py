@@ -20,6 +20,9 @@ from typing import Optional
 import numpy as np
 
 from ..core.transform import Transform
+from ..utils.logging import get_logger
+
+log = get_logger()
 from ..render import api as api_mod
 from ..render import bsdf as B
 from ..render import emitter as E
@@ -182,7 +185,8 @@ _INTEGRATORS = {
 _SAMPLERS = {
     "independent": api_mod.INDEPENDENT, "stratified": api_mod.STRATIFIED,
     "ldsampler": api_mod.LDSAMPLER, "sobol": api_mod.SOBOL,
-    "halton": api_mod.LDSAMPLER, "hammersley": api_mod.LDSAMPLER,
+    "halton": api_mod.HALTON, "hammersley": api_mod.HAMMERSLEY,
+    "faure": api_mod.FAURE,
 }
 
 _RFILTERS = {
@@ -203,6 +207,10 @@ class XMLSceneLoader:
         self.width, self.height, self.spp = 256, 256, 16
         self.filter_type = RF.GAUSSIAN
         self.sampler_type = api_mod.INDEPENDENT
+        # harvest lists: top-level bsdf/phase declarations of the reference's
+        # chi-square scene files (data/tests/test_bsdf.xml, test_phase.xml)
+        self.toplevel_bsdfs: list = []
+        self.toplevel_phases: list = []
         self.tree = ET.parse(path)
 
     def resolve_path(self, p: str) -> str:
@@ -222,7 +230,12 @@ class XMLSceneLoader:
             elif c.tag == "sensor":
                 self._load_sensor(c)
             elif c.tag == "bsdf":
-                mat_id = self._load_bsdf(c)
+                try:
+                    mat_id = self._load_bsdf(c)
+                except ValueError as e:
+                    log.warning(f"scene: skipping bsdf: {e}")
+                    continue
+                self.toplevel_bsdfs.append(mat_id)
                 if c.get("id"):
                     self.ids[c.get("id")] = ("bsdf", mat_id)
             elif c.tag == "texture":
@@ -233,6 +246,19 @@ class XMLSceneLoader:
                 self._load_shape(c)
             elif c.tag == "emitter":
                 self._load_emitter(c)
+            elif c.tag == "medium":
+                mid = self._load_medium(c)
+                if c.get("id"):
+                    self.ids[c.get("id")] = ("medium", mid)
+            elif c.tag == "phase":
+                self.toplevel_phases.append(self._phase_props(c))
+            elif c.tag in ("default", "alias", "null"):
+                pass
+            elif isinstance(c.tag, str):
+                # reference SceneHandler logs and continues on unknown
+                # elements where sensible (scenehandler.cpp) — match that
+                # instead of dying on the first unsupported feature
+                log.warning(f"scene: ignoring unsupported element <{c.tag}>")
         scene, static = self.builder.build()
         settings = api_mod.RenderSettings(
             width=self.width, height=self.height, spp=self.spp,
@@ -292,10 +318,18 @@ class XMLSceneLoader:
         t = node.get("type")
         p = _props(node, self.params)
         film = node.find("film")
+        is_meter = t in ("radiancemeter", "irradiancemeter", "fluencemeter")
         if film is not None:
             fp = _props(film, self.params)
-            self.width = int(fp.get("width", 768))
-            self.height = int(fp.get("height", 576))
+            # meters + mfilm default to a 1x1 numeric matrix
+            # (mfilm.cpp / irradiancemeter.cpp defaults)
+            dw, dh = (1, 1) if (is_meter or film.get("type") == "mfilm") \
+                else (768, 576)
+            self.width = int(fp.get("width", dw))
+            self.height = int(fp.get("height", dh))
+        elif is_meter:
+            self.width = self.height = 1
+        if film is not None:
             rf = film.find("rfilter")
             if rf is not None:
                 self.filter_type = _RFILTERS.get(rf.get("type"), RF.GAUSSIAN)
@@ -325,8 +359,16 @@ class XMLSceneLoader:
             o = to_world.apply_point([0, 0, 0])
             d = to_world.apply_vector([0, 0, 1])
             self.sensor = sensor_mod.make_radiancemeter(o, d)
+        elif t == "irradiancemeter":
+            o = to_world.apply_point([0, 0, 0])
+            n = to_world.apply_vector([0, 0, 1])
+            self.sensor = sensor_mod.make_irradiancemeter(o, n)
+        elif t == "fluencemeter":
+            self.sensor = sensor_mod.make_fluencemeter(
+                to_world.apply_point([0, 0, 0]))
         else:
-            raise ValueError(f"unsupported sensor type '{t}'")
+            log.warning(f"scene: unsupported sensor type '{t}', "
+                     "falling back to perspective")
 
     def _texture_ref_or_value(self, node, p, pname, default):
         """A parameter that is either a spectrum value or a nested/ref texture.
@@ -389,10 +431,18 @@ class XMLSceneLoader:
         if t == "twosided":
             inner = node.find("bsdf")
             return self._load_bsdf(inner, twosided=True)
-        if t in ("mask",):  # opacity mask: load inner, attach opacity texture
+        if t == "mask":
+            # opacity mask over a nested BSDF (mask.cpp): opacity from a
+            # texture or a constant spectrum
             inner = node.find("bsdf")
             mid = self._load_bsdf(inner, twosided=twosided)
-            return mid
+            op, op_tex = self._texture_ref_or_value(
+                node, p, "opacity", (0.5,) * 3)
+            if op_tex < 0:
+                op_tex = self.builder.add_texture_constant(tuple(
+                    np.broadcast_to(np.asarray(op, np.float64), (3,))))
+            return self.builder.add_material(
+                type=B.MASK, nested_a=mid, opacity_tex=op_tex)
 
         def ior_of(key, default):
             v = p.get(key, default)
@@ -402,9 +452,12 @@ class XMLSceneLoader:
                 return float(v[0])
             return float(v)
 
-        dist = {"beckmann": mf.BECKMANN, "ggx": mf.GGX, "phong": mf.BECKMANN}[
-            p.get("distribution", "beckmann")
-        ]
+        # phong / Ashikhmin-Shirley microfacet distributions map to Beckmann
+        # (the closest of the two implemented kernels; microfacet.h:50-56 —
+        # phong is asymptotically Beckmann, AS keeps its anisotropy via
+        # alphaU/alphaV)
+        dist = {"beckmann": mf.BECKMANN, "ggx": mf.GGX, "phong": mf.BECKMANN,
+                "as": mf.BECKMANN}[p.get("distribution", "beckmann")]
         alpha = p.get("alpha", 0.1)
         if isinstance(alpha, tuple):
             alpha = alpha[0]
@@ -466,6 +519,102 @@ class XMLSceneLoader:
                 spec_refl=p.get("specularReflectance", (0.2,) * 3),
                 alpha=(a, a), twosided=twosided,
             )
+        if t == "ward":
+            refl, tex = self._texture_ref_or_value(
+                node, p, "diffuseReflectance", (0.5,) * 3)
+            return self.builder.add_material(
+                type=B.WARD, albedo=refl, albedo_tex=tex,
+                spec_refl=p.get("specularReflectance", (0.2,) * 3),
+                alpha=(alpha_u, alpha_v), twosided=twosided,
+            )
+        if t == "difftrans":
+            refl, tex = self._texture_ref_or_value(
+                node, p, "transmittance", (0.5,) * 3)
+            return self.builder.add_material(
+                type=B.DIFFTRANS, albedo=refl, albedo_tex=tex)
+        if t == "mixturebsdf":
+            ws = [float(x) for x in str(p.get("weights", "0.5 0.5")).split()]
+            kids = node.findall("bsdf")
+            refs = [c for c in node.findall("ref") if c.get("name") is None]
+            mids = [self._load_bsdf(c) for c in kids]
+            mids += [self.ids[c.get("id")][1] for c in refs]
+            if len(mids) != 2 or len(ws) != len(mids):
+                log.warning("scene: mixturebsdf supports exactly 2 lobes; "
+                            f"got {len(mids)} — using the first")
+                return mids[0] if mids else self.builder.add_material()
+            tot = ws[0] + ws[1]
+            if abs(tot - 1.0) > 1e-6:
+                # reference allows sum<1 (absorbed remainder); the two-lobe
+                # kernel renormalizes — documented approximation
+                log.warning(f"scene: mixturebsdf weights sum to {tot:g}; "
+                            "renormalizing")
+            return self.builder.add_material(
+                type=B.MIXTURE, nested_a=mids[0], nested_b=mids[1],
+                weight=ws[0] / max(tot, 1e-9))
+        if t == "blendbsdf":
+            kids = node.findall("bsdf")
+            mids = [self._load_bsdf(c) for c in kids]
+            _, wtex = self._texture_ref_or_value(node, p, "weight", (0.5,) * 3)
+            if wtex < 0:
+                w = p.get("weight", 0.5)
+                w = float(w[0]) if isinstance(w, tuple) else float(w)
+                return self.builder.add_material(
+                    type=B.MIXTURE, nested_a=mids[1], nested_b=mids[0],
+                    weight=w)
+            return self.builder.add_material(
+                type=B.BLEND, nested_a=mids[1], nested_b=mids[0],
+                weight_tex=wtex)
+        if t in ("coating", "roughcoating"):
+            inner = node.find("bsdf")
+            if inner is None:
+                refs = [c for c in node.findall("ref") if c.get("name") is None]
+                mid = self.ids[refs[0].get("id")][1] if refs \
+                    else self.builder.add_material()
+            else:
+                mid = self._load_bsdf(inner)
+            sa = np.asarray(p.get("sigmaA", (0.0,) * 3), np.float64)
+            sa = np.broadcast_to(sa, (3,))
+            th = float(p.get("thickness", 1.0))
+            if t == "roughcoating":
+                log.warning("scene: roughcoating approximated by the smooth "
+                            "coating kernel (coating.cpp analog)")
+            return self.builder.add_material(
+                type=B.COATING, nested_a=mid,
+                eta=ior_of("intIOR", "bk7") / ior_of("extIOR", "air"),
+                k=tuple(sa * th))
+        if t == "hk":
+            ss = np.broadcast_to(
+                np.asarray(p.get("sigmaS", (1.0,) * 3), np.float64), (3,))
+            sa = np.broadcast_to(
+                np.asarray(p.get("sigmaA", (0.05,) * 3), np.float64), (3,))
+            g = 0.0
+            ph = node.find("phase")
+            if ph is not None and ph.get("type") == "hg":
+                g = float(_props(ph, self.params).get("g", 0.0))
+            return self.builder.add_material(
+                type=B.HK, albedo=tuple(ss), k=tuple(ss + sa),
+                hk_thickness=float(p.get("thickness", 1.0)), hk_g=g)
+        if t == "normalmap":
+            inner = node.find("bsdf")
+            mid = self._load_bsdf(inner, twosided=twosided)
+            for c in node.findall("texture"):
+                tex = self._load_texture(c)
+                rec = dict(self.builder.mats[mid])
+                rec["normal_tex"] = tex
+                self.builder.mats.append(rec)
+                return len(self.builder.mats) - 1
+            return mid
+        if t == "bumpmap":
+            inner = node.find("bsdf")
+            mid = self._load_bsdf(inner, twosided=twosided)
+            for c in node.findall("texture"):
+                tex = self._load_texture(c)
+                rec = dict(self.builder.mats[mid])
+                rec["bump_tex"] = tex
+                rec["bump_scale"] = float(p.get("scale", 1.0))
+                self.builder.mats.append(rec)
+                return len(self.builder.mats) - 1
+            return mid
         if t == "null":
             return self.builder.add_material(type=B.NULL)
         raise ValueError(f"unsupported bsdf type '{t}'")
@@ -523,21 +672,25 @@ class XMLSceneLoader:
             )
         raise ValueError(f"unsupported medium type '{t}'")
 
-    def _shape_interior_medium(self, node) -> int:
+    def _shape_medium(self, node, which: str) -> int:
+        """Nested or referenced interior/exterior medium of a shape
+        (the reference's Shape::addChild medium slots)."""
         for c in node.findall("medium"):
-            if c.get("name") in ("interior", None):
+            if c.get("name") == which or (which == "interior"
+                                          and c.get("name") is None):
                 mid = self._load_medium(c)
                 if c.get("id"):
                     self.ids[c.get("id")] = ("medium", mid)
                 return mid
         for c in node.findall("ref"):
-            if c.get("name") == "interior":
+            if c.get("name") == which:
                 kind, idx = self.ids[c.get("id")]
                 if kind == "medium":
                     return idx
         return -1
 
-    def _shape_material(self, node, interior_medium: int = -1) -> int:
+    def _shape_material(self, node, interior_medium: int = -1,
+                        exterior_medium: int = -1) -> int:
         mat_id = None
         for c in node.findall("ref"):
             if c.get("name") in (None, "bsdf"):
@@ -548,16 +701,18 @@ class XMLSceneLoader:
             inner = node.find("bsdf")
             if inner is not None:
                 mat_id = self._load_bsdf(inner)
-        if interior_medium >= 0:
+        if interior_medium >= 0 or exterior_medium >= 0:
             from ..render import bsdf as B
 
             if mat_id is None:
-                # a shape with only a medium is a transparent boundary
+                # a shape with only media is a transparent boundary
                 return self.builder.add_material(
-                    type=B.NULL, interior_medium=interior_medium)
-            # shared materials can't carry per-shape media: clone with medium
+                    type=B.NULL, interior_medium=interior_medium,
+                    exterior_medium=exterior_medium)
+            # shared materials can't carry per-shape media: clone with media
             rec = dict(self.builder.mats[mat_id])
             rec["interior_medium"] = interior_medium
+            rec["exterior_medium"] = exterior_medium
             self.builder.mats.append(rec)
             return len(self.builder.mats) - 1
         if mat_id is None:
@@ -575,9 +730,12 @@ class XMLSceneLoader:
         t = node.get("type")
         p = _props(node, self.params)
         to_world = p.get("toWorld", Transform.identity())
-        medium = self._shape_interior_medium(node)
-        mat = self._shape_material(node, medium)
+        medium = self._shape_medium(node, "interior")
+        ext_medium = self._shape_medium(node, "exterior")
+        mat = self._shape_material(node, medium, ext_medium)
         emitter = self._shape_emitter(node)
+        flip = bool(p.get("flipNormals", False))
+        self._shape_sensor(node, to_world, flip)
 
         if t in ("obj", "ply", "serialized"):
             path = self.resolve_path(p["filename"])
@@ -600,16 +758,18 @@ class XMLSceneLoader:
                                       normals=n, uvs=mesh.uvs)
         elif t == "rectangle":
             v, f, uv = shapes_mod.rectangle(to_world)
-            if to_world.det3 < 0:
+            if (to_world.det3 < 0) != flip:
                 f = f[:, [0, 2, 1]]
             self.builder.add_mesh(v, f, mat, emitter_radiance=emitter, uvs=uv)
         elif t == "cube":
             v, f, uv = shapes_mod.cube(to_world)
-            if to_world.det3 < 0:
+            if (to_world.det3 < 0) != flip:
                 f = f[:, [0, 2, 1]]
             self.builder.add_mesh(v, f, mat, emitter_radiance=emitter, uvs=uv)
         elif t == "disk":
             v, f, uv = shapes_mod.disk(to_world)
+            if (to_world.det3 < 0) != flip:
+                f = f[:, [0, 2, 1]]
             self.builder.add_mesh(v, f, mat, emitter_radiance=emitter, uvs=uv)
         elif t == "sphere":
             center = np.asarray(p.get("center", (0.0, 0.0, 0.0)))
@@ -635,7 +795,49 @@ class XMLSceneLoader:
             self.builder.add_mesh(v, f, mat, emitter_radiance=emitter,
                                   normals=n, uvs=uv)
         else:
-            raise ValueError(f"unsupported shape type '{t}'")
+            log.warning(f"scene: ignoring unsupported shape type '{t}'")
+
+    def _shape_sensor(self, node, to_world, flip):
+        """Sensor nested inside a shape (irradiancemeter attached to
+        geometry, data/tests/test_bidir_0.xml style)."""
+        sn = node.find("sensor")
+        if sn is None:
+            return
+        t = sn.get("type")
+        o = to_world.apply_point([0, 0, 0])
+        n = to_world.apply_vector([0, 0, 1])
+        n = n / np.linalg.norm(n)
+        if flip:
+            n = -n
+        if t == "irradiancemeter":
+            # patch radius from the transform's xy scale (disk default r=1)
+            r = float(np.linalg.norm(to_world.apply_vector([1, 0, 0])))
+            self.sensor = sensor_mod.make_irradiancemeter(o, n, r)
+        elif t == "radiancemeter":
+            self.sensor = sensor_mod.make_radiancemeter(o, n)
+        elif t == "fluencemeter":
+            self.sensor = sensor_mod.make_fluencemeter(o)
+        else:
+            log.warning(f"scene: unsupported shape-attached sensor '{t}'")
+            return
+        self.width = self.height = 1
+        samp = sn.find("sampler")
+        if samp is not None:
+            sp = _props(samp, self.params)
+            self.spp = int(sp.get("sampleCount", 16))
+            self.sampler_type = _SAMPLERS.get(samp.get("type"),
+                                              api_mod.INDEPENDENT)
+        film = sn.find("film")
+        if film is not None:
+            fp = _props(film, self.params)
+            self.width = int(fp.get("width", 1))
+            self.height = int(fp.get("height", 1))
+
+    def _phase_props(self, node) -> dict:
+        """Phase-function declaration -> plain config dict (type + params),
+        for the chi-square harness over test_phase.xml."""
+        p = _props(node, self.params)
+        return dict(type=node.get("type"), **{k: v for k, v in p.items()})
 
     def _load_emitter(self, node):
         t = node.get("type")
@@ -660,8 +862,13 @@ class XMLSceneLoader:
                 beamwidth_deg=float(p.get("beamWidth", p.get("cutoffAngle", 20.0) * 0.75)),
             )
         elif t == "envmap":
-            img = _load_image(self.resolve_path(p["filename"]),
-                              gamma=float(p.get("gamma", 0.0)))
+            try:
+                img = _load_image(self.resolve_path(p["filename"]),
+                                  gamma=float(p.get("gamma", 0.0)))
+            except (FileNotFoundError, OSError) as e:
+                log.warning(f"scene: envmap '{p.get('filename')}' "
+                            f"unreadable ({e}); skipping emitter")
+                return
             to_world = p.get("toWorld", Transform.identity())
             self.builder.add_envmap(img, to_world=to_world.m[:3, :3],
                                     scale=float(p.get("scale", 1.0)))
@@ -705,7 +912,7 @@ class XMLSceneLoader:
             self.builder.add_collimated_beam(
                 o, d, p.get("power", (1.0,) * 3))
         else:
-            raise ValueError(f"unsupported emitter type '{t}'")
+            log.warning(f"scene: ignoring unsupported emitter type '{t}'")
 
 
 def _load_image(path: str, gamma: float = 0.0) -> np.ndarray:

@@ -83,28 +83,27 @@ def _sweep(rows_ref, oxv, oyv, ozv, dxv, dyv, dzv, inx, iny, inz, tmin,
     pointer leaves [*, endv). Returns updated (bt, bi, bu, bv).
 
     Strip-mined: each while iteration processes ``strip`` consecutive rows
-    with branchless (masked) leaf tests. The expensive per-iteration
-    serial chain — cross-lane min reduction -> scalar row loads -> loop
-    branch — then amortizes over ``strip`` rows, and the scalar loads of
-    row base+j+1 are address-independent of row base+j's vector results so
-    Mosaic can software-pipeline them. In-strip skip-chaining works
-    because preorder successors (cur+1 and skip[cur]) are strictly
-    increasing: a lane bounced to a later row of the same strip is picked
-    up by that sub-step."""
+    with branchless (masked) leaf tests, amortizing the loop branch and the
+    scalar row-load addressing over ``strip`` rows.
+
+    Measured (v5e, bunny.ply): the sweep is VPU-compute-bound per row (the
+    ~200 vector ops of box + inlined-triangle tests dominate; amortizing
+    the cross-lane min via bigger strips or stale-min pipelining trades
+    extra rows for overhead at a net loss), so the min is taken once per
+    strip at the body end and consumed across the loop edge."""
     N = rows_ref.shape[0]
 
     state0 = (
         jnp.min(node0),                             # scalar: current min node
         node0, bt, bi, bu, bv,
+        jnp.zeros((), jnp.int32),                   # strip-iteration counter
     )
 
     def cond(st):
-        # scalar-only condition: a vector->scalar reduction here would stall
-        # the pipeline every iteration (the min is carried from the body)
         return st[0] < N
 
     def body(st):
-        base, node, bt, bi, bu, bv = st
+        base, node, bt, bi, bu, bv, nit = st
 
         for j in range(strip):
             cur = base + j
@@ -176,14 +175,14 @@ def _sweep(rows_ref, oxv, oyv, ozv, dxv, dyv, dzv, inx, iny, inz, tmin,
                 # (skdtree.cpp:207 boolean shadow-ray fast path)
                 node = jnp.where(bi >= 0, N, node)
 
-        return jnp.min(node), node, bt, bi, bu, bv
+        return jnp.min(node), node, bt, bi, bu, bv, nit + 1
 
-    _, _, bt, bi, bu, bv = jax.lax.while_loop(cond, body, state0)
-    return bt, bi, bu, bv
+    _, _, bt, bi, bu, bv, nit = jax.lax.while_loop(cond, body, state0)
+    return bt, bi, bu, bv, nit
 
 
 def _traverse(rows_ref, oxv, oyv, ozv, dxv, dyv, dzv, tmin, tmaxv,
-              startv=None, endv=None, any_hit=False):
+              startv=None, endv=None, any_hit=False, strip=STRIP):
     """Swept traversal body. ``startv``/``endv`` bound each lane to the
     preorder node range [start, end) — a subtree in DFS layout is exactly
     such a range, so treelet-restricted traversal reuses the same sweep
@@ -204,13 +203,13 @@ def _traverse(rows_ref, oxv, oyv, ozv, dxv, dyv, dzv, tmin, tmaxv,
         jnp.full((BS, LANES), -1, jnp.int32),
         jnp.zeros((BS, LANES), jnp.float32),
         jnp.zeros((BS, LANES), jnp.float32),
-        any_hit=any_hit,
-    )
+        any_hit=any_hit, strip=strip,
+    )[:4]
 
 
-@partial(jax.jit, static_argnames=("interpret", "any_hit"))
+@partial(jax.jit, static_argnames=("interpret", "any_hit", "strip"))
 def bvh_traverse_packed(rows, o, d, t_min, t_max, start=None, end=None,
-                        interpret=False, any_hit=False):
+                        interpret=False, any_hit=False, strip=STRIP):
     """Swept traversal of rays (R, 3) against packed node rows (N, ROW).
 
     Returns (hit, t, tri_idx (original ids), u, v). With ``any_hit`` lanes
@@ -249,10 +248,12 @@ def bvh_traverse_packed(rows, o, d, t_min, t_max, start=None, end=None,
         outs = rest[n_in:]
         if bounded:
             bt, bi, bu, bv = _traverse(
-                rows_r, *ins[:8], startv=ins[8], endv=ins[9], any_hit=any_hit
+                rows_r, *ins[:8], startv=ins[8], endv=ins[9],
+                any_hit=any_hit, strip=strip,
             )
         else:
-            bt, bi, bu, bv = _traverse(rows_r, *ins, any_hit=any_hit)
+            bt, bi, bu, bv = _traverse(rows_r, *ins, any_hit=any_hit,
+                                       strip=strip)
         outs[0][0] = bt
         outs[1][0] = bi
         outs[2][0] = bu
@@ -326,13 +327,21 @@ def bvh_traverse(rows, o, d, t_min, t_max, scene_lo, scene_hi, sort=True,
     if not sort:
         return bvh_traverse_packed(rows, o, d, t_min, t_max, any_hit=any_hit)
     R = o.shape[0]
+    t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (R,))
+    t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (R,))
     key = ray_sort_keys(o, d, scene_lo, scene_hi)
-    order = jnp.argsort(key)
-    inv = jnp.argsort(order)
-    res = bvh_traverse_packed(
-        rows, o[order], d[order], t_min[order], t_max[order], any_hit=any_hit
+    r = jax.lax.sort(
+        (key, o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
+         t_min, t_max, jnp.arange(R, dtype=jnp.int32)),
+        num_keys=1,
     )
-    return tuple(x[inv] for x in res)
+    res = bvh_traverse_packed(
+        rows, jnp.stack(r[1:4], -1), jnp.stack(r[4:7], -1), r[7], r[8],
+        any_hit=any_hit,
+    )
+    rr = jax.lax.sort((r[9],) + tuple(res[1:]), num_keys=1)
+    hitm = rr[2] >= 0
+    return (hitm, rr[1], rr[2], rr[3], rr[4])
 
 
 # --- two-level treelet traversal --------------------------------------------
@@ -380,14 +389,16 @@ def _nearest_treelet(o, inv_d, t_min, t_max, tl_lo, tl_hi):
 
 
 def _treelet_rounds(tab_ref, rows_ref, oxv, oyv, ozv, dxv, dyv, dzv,
-                    tmin, tmaxv, K, any_hit=False):
+                    tmin, tmaxv, K, any_hit=False, strip=STRIP,
+                    slim=False):
     """Persistent per-block round loop: every round each lane picks its
     nearest PENDING treelet whose entry beats its best hit (dense unrolled
     K-way root-box test — scalar treelet constants against vector lanes, no
     gathers), then a bounded sweep runs that treelet's row range. The block
     retires when no lane can improve. One kernel launch total; blocks
     finish independently."""
-    N = rows_ref.shape[0]
+    N = rows_ref.shape[0] * (SLIM_SLOTS if slim else 1)
+    sweep_fn = _sweep_slim if slim else _sweep
     W32 = -(-K // 32)
     INF = jnp.float32(np.inf)
     inx, iny, inz = _safe_inv_v(dxv), _safe_inv_v(dyv), _safe_inv_v(dzv)
@@ -404,13 +415,15 @@ def _treelet_rounds(tab_ref, rows_ref, oxv, oyv, ozv, dxv, dyv, dzv,
         jnp.full((BS, LANES), -1, jnp.int32),
         jnp.zeros((BS, LANES), jnp.float32),
         jnp.zeros((BS, LANES), jnp.float32),
+        jnp.zeros((), jnp.int32),   # rounds
+        jnp.zeros((), jnp.int32),   # total strip iterations
     )
 
     def cond(st):
         return st[0]
 
     def body(st):
-        _, pend, bt, bi, bu, bv = st
+        _, pend, bt, bi, bu, bv, nrounds, nstrips = st
 
         best_e = jnp.full((BS, LANES), INF, jnp.float32)
         selv = jnp.full((BS, LANES), -1, jnp.int32)
@@ -460,24 +473,27 @@ def _treelet_rounds(tab_ref, rows_ref, oxv, oyv, ozv, dxv, dyv, dzv,
 
         node0 = jnp.where(active, startv, N)
         endv = jnp.where(active, endv, 0)
-        bt, bi, bu, bv = _sweep(
+        bt, bi, bu, bv, nit = sweep_fn(
             rows_ref, oxv, oyv, ozv, dxv, dyv, dzv, inx, iny, inz, tmin,
-            node0, endv, bt, bi, bu, bv, any_hit=any_hit,
+            node0, endv, bt, bi, bu, bv, any_hit=any_hit, strip=strip,
         )
         if any_hit:
             # occluded lanes retire outright
             occ = bi >= 0
             new_pend = [jnp.where(occ, jnp.uint32(0), p) for p in new_pend]
-        return (jnp.any(active), tuple(new_pend), bt, bi, bu, bv)
+        return (jnp.any(active), tuple(new_pend), bt, bi, bu, bv,
+                nrounds + 1, nstrips + nit)
 
-    _, _, bt, bi, bu, bv = jax.lax.while_loop(cond, body, st0)
-    return bt, bi, bu, bv
+    _, _, bt, bi, bu, bv, nrounds, nstrips = jax.lax.while_loop(cond, body, st0)
+    return bt, bi, bu, bv, nrounds, nstrips
 
 
-@partial(jax.jit, static_argnames=("sort", "any_hit", "interpret"))
+@partial(jax.jit, static_argnames=("sort", "any_hit", "interpret",
+                                   "debug_counts", "strip", "slim"))
 def bvh_traverse_treelets(rows, tl_root, tl_skip, tl_lo, tl_hi,
                           o, d, t_min, t_max, scene_lo, scene_hi,
-                          sort=True, any_hit=False, interpret=False):
+                          sort=True, any_hit=False, interpret=False,
+                          debug_counts=False, strip=STRIP, slim=False):
     """Two-level traversal: the preorder node stream is cut into K treelets
     (contiguous subtree row ranges, accel/build.treelet_roots); rays are
     sorted once by (nearest treelet, octant, origin morton) and the kernel
@@ -495,15 +511,27 @@ def bvh_traverse_treelets(rows, tl_root, tl_skip, tl_lo, tl_hi,
     if sort:
         # one dense pass orders rays by (first treelet, octant, morton):
         # blocks then share treelet ranges and direction signs, keeping each
-        # round's union near one path
+        # round's union near one path. The permutation is applied with ONE
+        # multi-payload lax.sort (and undone below with another): XLA
+        # argsort + per-array gathers each cost tens of ms at 262k rays on
+        # v5e, so moving the payloads inside the sort network is the only
+        # affordable way to reorder.
         inv_d = _safe_inv3(d)
         sel0 = _nearest_treelet(o, inv_d, t_min, t_max, tl_lo, tl_hi)
         key = ray_sort_keys(o, d, scene_lo, scene_hi)
         key = (sel0.astype(jnp.uint32) << jnp.uint32(24)) | (key >> jnp.uint32(8))
-        order = jnp.argsort(key)
-        inv = jnp.argsort(order)
-        o, d = o[order], d[order]
-        t_min, t_max = t_min[order], t_max[order]
+        # occupancy compaction: dead lanes (inactive rays carry
+        # t_max <= t_min) pool into the tail blocks, which then retire in
+        # zero sweep iterations instead of diluting live blocks' sharing
+        key = jnp.where(t_max <= t_min, jnp.uint32(0xFFFFFFFF), key)
+        r = jax.lax.sort(
+            (key, o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
+             t_min, t_max, jnp.arange(R, dtype=jnp.int32)),
+            num_keys=1,
+        )
+        o = jnp.stack(r[1:4], axis=-1)
+        d = jnp.stack(r[4:7], axis=-1)
+        t_min, t_max, orig = r[7], r[8], r[9]
 
     N = rows.shape[0]
     Rp = -(-R // BLOCK) * BLOCK
@@ -536,33 +564,176 @@ def bvh_traverse_treelets(rows, tl_root, tl_skip, tl_lo, tl_hi,
     def kern(tab_r, rows_r, *rest):
         ins = [r[0] for r in rest[:8]]
         outs = rest[8:]
-        bt, bi, bu, bv = _treelet_rounds(tab_r, rows_r, *ins, K=K,
-                                         any_hit=any_hit)
+        bt, bi, bu, bv, nrounds, nstrips = _treelet_rounds(
+            tab_r, rows_r, *ins, K=K, any_hit=any_hit, strip=strip,
+            slim=slim)
         outs[0][0] = bt
         outs[1][0] = bi
         outs[2][0] = bu
         outs[3][0] = bv
+        if debug_counts:
+            # packed per-block work stats: strips * 256 + rounds
+            outs[4][0] = jnp.full((BS, LANES), nstrips * 256 + nrounds,
+                                  jnp.int32)
 
+    n_out = 5 if debug_counts else 4
     out = pl.pallas_call(
         kern,
         grid=(grid,),
         in_specs=[tab_spec, rows_spec] + [ray_spec] * 8,
-        out_specs=[ray_spec] * 4,
+        out_specs=[ray_spec] * n_out,
         out_shape=[
             jax.ShapeDtypeStruct((grid, BS, LANES), jnp.float32),
             jax.ShapeDtypeStruct((grid, BS, LANES), jnp.int32),
             jax.ShapeDtypeStruct((grid, BS, LANES), jnp.float32),
             jax.ShapeDtypeStruct((grid, BS, LANES), jnp.float32),
-        ],
+        ] + [jax.ShapeDtypeStruct((grid, BS, LANES), jnp.int32)] * (
+            1 if debug_counts else 0),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=112 * 1024 * 1024,
         ),
         interpret=interpret,
     )(tab, rows, *rays)
 
-    t, idx, u, v = (x.reshape(Rp)[:R] for x in out)
+    t, idx, u, v = (x.reshape(Rp)[:R] for x in out[:4])
+    if sort:
+        # undo the permutation with one multi-payload sort keyed on the
+        # carried original indices
+        r = jax.lax.sort((orig, t, idx, u, v), num_keys=1)
+        t, idx, u, v = r[1], r[2], r[3], r[4]
     hitm = idx >= 0
     res = (hitm, jnp.where(hitm, t, jnp.inf), idx, u, v)
-    if sort:
-        res = tuple(x[inv] for x in res)
+    if debug_counts:
+        return res + (out[4][:, 0, 0],)
     return res
+
+
+# --- slim layout: leaf_size-1 tree, 4 node slots per 128-lane row -----------
+#
+# The fat-row sweep is VPU-compute-bound: every visited row executes a box
+# test PLUS 4 inlined Moller-Trumbore tests (~220 vector ops) even on
+# internal nodes. The slim layout builds the BVH with leaf_size=1 and
+# overlays one node per 32-lane slot (4 per physical row):
+#   slot[0:6]  internal: bbox lo/hi   |  leaf: tri p0, e1[0:3]
+#   slot[0:9]  leaf: p0, e1, e2
+#   slot[9]    skip link   slot[10]   tri id (>= 0) or -1 for internal
+# Each visited node then costs ONE box test + ONE triangle test (~90 ops,
+# ~2.4x less vector work per row); the deeper tree adds ~40% more rows for
+# a measured net win on incoherent rays. VMEM: 128 B/node (vs 512).
+
+SLIM_SLOTS = 4
+_S_SKIP = 9
+_S_TID = 10
+
+
+def pack_nodes_slim(bvh, p0, e1, e2) -> np.ndarray:
+    """(ceil(N/4), 128) float32 slot-packed rows from a leaf_size=1 BVH."""
+    N = len(bvh.lo)
+    counts = np.where(bvh.prim_first >= 0, bvh.prim_count, 0)
+    assert counts.max() <= 1, "slim layout requires a leaf_size=1 BVH"
+    assert N < (1 << 24) and len(p0) < (1 << 24)
+    rows = np.zeros((-(-N // SLIM_SLOTS), 128), np.float32)
+    flat = rows.reshape(-1)
+    # slot base byte offsets of node n: 128*(n>>2) + 32*(n&3)
+    nidx = np.arange(N)
+    base = 128 * (nidx >> 2) + 32 * (nidx & 3)
+    inner = counts == 0
+    for c in range(3):
+        flat[base[inner] + c] = bvh.lo[inner, c]
+        flat[base[inner] + 3 + c] = bvh.hi[inner, c]
+    leaf = ~inner
+    tri = np.zeros(N, np.int64)
+    tri[leaf] = bvh.prim_order[bvh.prim_first[leaf]]
+    for c in range(3):
+        flat[base[leaf] + c] = p0[tri[leaf], c]
+        flat[base[leaf] + 3 + c] = e1[tri[leaf], c]
+        flat[base[leaf] + 6 + c] = e2[tri[leaf], c]
+    flat[base + _S_SKIP] = bvh.skip.astype(np.float32)
+    flat[base + _S_TID] = np.where(leaf, tri, -1).astype(np.float32)
+    return rows
+
+
+def _sweep_slim(rows_ref, oxv, oyv, ozv, dxv, dyv, dzv, inx, iny, inz, tmin,
+                node0, endv, bt, bi, bu, bv, any_hit=False, strip=STRIP):
+    """Strip-mined sweep over slot-packed slim rows. Node pointers are in
+    NODE units; the jump base stays 4-aligned so slot offsets are static."""
+    N4 = rows_ref.shape[0]
+    N = N4 * SLIM_SLOTS
+
+    m0 = jnp.min(node0) & ~3
+    state0 = (m0, node0, bt, bi, bu, bv, jnp.zeros((), jnp.int32))
+
+    def cond(st):
+        return st[0] < N
+
+    def body(st):
+        base, node, bt, bi, bu, bv, nit = st
+        row0 = base >> 2
+
+        for j in range(strip):
+            cur = base + j
+            rowc = jnp.minimum(row0 + (j >> 2), N4 - 1)
+            c0 = 32 * (j & 3)
+            here = node == cur
+
+            def f(c):
+                return rows_ref[rowc, c0 + c]
+
+            skip = rows_ref[rowc, c0 + _S_SKIP].astype(jnp.int32)
+            tid = rows_ref[rowc, c0 + _S_TID].astype(jnp.int32)
+            is_leaf = tid >= 0
+
+            g0, g1, g2 = f(0), f(1), f(2)
+            g3, g4, g5 = f(3), f(4), f(5)
+            g6, g7, g8 = f(6), f(7), f(8)
+
+            # internal interpretation: slab test on lo=(g0..g2), hi=(g3..g5)
+            t0x = (g0 - oxv) * inx
+            t1x = (g3 - oxv) * inx
+            t0y = (g1 - oyv) * iny
+            t1y = (g4 - oyv) * iny
+            t0z = (g2 - ozv) * inz
+            t1z = (g5 - ozv) * inz
+            tnear = jnp.maximum(
+                jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+                jnp.maximum(jnp.minimum(t0z, t1z), tmin),
+            )
+            tfar = jnp.minimum(
+                jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+                jnp.minimum(jnp.maximum(t0z, t1z), bt),
+            )
+            hit_box = here & (tnear <= tfar)
+
+            # leaf interpretation: Moller-Trumbore on p0=(g0..2), e1=(g3..5),
+            # e2=(g6..8)
+            pvx = dyv * g8 - dzv * g7
+            pvy = dzv * g6 - dxv * g8
+            pvz = dxv * g7 - dyv * g6
+            det = g3 * pvx + g4 * pvy + g5 * pvz
+            ok = jnp.abs(det) > 1e-12
+            invd = 1.0 / jnp.where(ok, det, 1.0)
+            tvx, tvy, tvz = oxv - g0, oyv - g1, ozv - g2
+            uu = (tvx * pvx + tvy * pvy + tvz * pvz) * invd
+            qx = tvy * g5 - tvz * g4
+            qy = tvz * g3 - tvx * g5
+            qz = tvx * g4 - tvy * g3
+            vv = (dxv * qx + dyv * qy + dzv * qz) * invd
+            tt = (g6 * qx + g7 * qy + g8 * qz) * invd
+            h = (here & is_leaf & ok & (uu >= 0) & (vv >= 0)
+                 & (uu + vv <= 1) & (tt > tmin) & (tt < bt))
+            bt = jnp.where(h, tt, bt)
+            bi = jnp.where(h, tid, bi)
+            bu = jnp.where(h, uu, bu)
+            bv = jnp.where(h, vv, bv)
+
+            descend = hit_box & jnp.logical_not(is_leaf)
+            nxt = jnp.where(descend, cur + 1, skip)
+            node = jnp.where(here, nxt, node)
+            node = jnp.where(node >= endv, N, node)
+            if any_hit:
+                node = jnp.where(bi >= 0, N, node)
+
+        return (jnp.min(node) & ~3, node, bt, bi, bu, bv, nit + 1)
+
+    _, _, bt, bi, bu, bv, nit = jax.lax.while_loop(cond, body, state0)
+    return bt, bi, bu, bv, nit

@@ -99,7 +99,7 @@ def render_pass(scene, static, sensor, cfg: icommon.IntegratorConfig,
     # fix the RNG strategy for everything traced below (samplers parity):
     # ldsampler/sobol -> scrambled (0,2)-sequences, halton -> radical inverse
     rng_mod.set_sampler(
-        {LDSAMPLER: rng_mod.LD, SOBOL: rng_mod.LD, HALTON: rng_mod.HALTON,
+        {LDSAMPLER: rng_mod.LD, SOBOL: rng_mod.SOBOL, HALTON: rng_mod.HALTON,
          HAMMERSLEY: rng_mod.HAMMERSLEY, FAURE: rng_mod.FAURE}
         .get(settings.sampler_type, rng_mod.INDEPENDENT),
         n=settings.spp,
@@ -513,12 +513,85 @@ def render_motion(scene, static, sensor_t0, sensor_t1,
     return mv(scene)
 
 
+def render_meter(scene, static, sensor, cfg: icommon.IntegratorConfig,
+                 settings: RenderSettings):
+    """Measurement-sensor render (irradiancemeter/fluencemeter/radiancemeter
+    on a 1x1 mfilm, the reference's data/tests/*.xml tier): instead of one
+    lane per pixel x spp host passes, megabatch spp samples as lanes —
+    pixel 0, per-lane sample index — and average. Returns (1, 1, 3)."""
+    li = _li_fn(cfg)
+    rng_mod.set_sampler(rng_mod.INDEPENDENT)
+    seed = jnp.asarray(settings.seed, jnp.int32)
+    total = jnp.zeros(3)
+    chunk = 1 << 15
+
+    @jax.jit
+    def one_chunk(scene_, s0):
+        sample_idx = s0 + jnp.arange(chunk, dtype=jnp.int32)
+        pixel_idx = jnp.zeros(chunk, jnp.int32)
+        u = rng_mod.uniform2(seed, pixel_idx, sample_idx, icommon.DIM_SENSOR)
+        u_ap = rng_mod.uniform2(seed, pixel_idx, sample_idx,
+                                icommon.DIM_APERTURE)
+        o, d = sensor_mod.sample_ray(sensor, u, u_ap)
+        L = li(scene_, static, cfg, o, d, seed, pixel_idx, sample_idx)
+        return jnp.sum(L, axis=0)
+
+    n = 0
+    while n < settings.spp:
+        total = total + one_chunk(scene, jnp.asarray(n, jnp.int32))
+        n += chunk
+    mean = total / n * sensor_mod.ray_weight(sensor)
+    return mean.reshape(1, 1, 3)
+
+
+def render_spectral(scene, static, sensor, cfg: icommon.IntegratorConfig,
+                    settings: RenderSettings):
+    """Hero-wavelength spectral render (the reference's SPECTRUM_SAMPLES
+    spectral build, spectrum.h:25-32, in TPU-native form — see path.li's
+    spectral_wl). RGB scene parameters are lifted to smooth spectra on the
+    fly; dielectrics with cauchy_b > 0 disperse. Returns (H, W, 3) sRGB."""
+    from ..core import spectrum as spec_mod
+    from .integrators import path as int_path
+
+    H, W = settings.height, settings.width
+    seed = jnp.asarray(settings.seed, jnp.int32)
+    pixel_idx = jnp.arange(H * W, dtype=jnp.int32)
+    rng_mod.set_sampler(rng_mod.INDEPENDENT)
+
+    @jax.jit
+    def one_pass(scene_, film, sample_idx):
+        pos = pixel_sample_positions(settings, pixel_idx, sample_idx, seed)
+        uv = pos / jnp.asarray([W, H], jnp.float32)
+        u_ap = rng_mod.uniform2(seed, pixel_idx, sample_idx,
+                                icommon.DIM_APERTURE)
+        o, d = sensor_mod.sample_ray(sensor, uv, u_ap)
+        u_wl = rng_mod.uniform1(seed, pixel_idx, sample_idx,
+                                icommon.DIM_WAVELENGTH)
+        wl, pdf = spec_mod.sample_wavelengths(u_wl)
+        Lspec = int_path.li(scene_, static, cfg, o, d, seed, pixel_idx,
+                            sample_idx, spectral_wl=wl)
+        L = spec_mod.spectral_to_rgb(Lspec, wl, pdf)
+        return film_mod.splat_aligned(film, L.reshape(H, W, 3))
+
+    film = film_mod.Film.empty(H, W)
+    for si in range(settings.spp):
+        film = one_pass(scene, film, jnp.asarray(si, jnp.int32))
+    return film_mod.develop(film)
+
+
 def render(scene, static, sensor, cfg: icommon.IntegratorConfig,
            settings: RenderSettings):
     """Full render: jit-compiled sample passes, host loop over spp chunks.
 
     Returns the developed (H, W, 3) image.
     """
+    if (settings.width == 1 and settings.height == 1
+            and int(sensor.type) in (sensor_mod.RADIANCEMETER,
+                                     sensor_mod.IRRADIANCEMETER,
+                                     sensor_mod.FLUENCEMETER)
+            and cfg.type in (icommon.PATH, icommon.DIRECT, icommon.VOLPATH,
+                             icommon.AO)):
+        return render_meter(scene, static, sensor, cfg, settings)
     if cfg.type == icommon.ADAPTIVE:
         return render_adaptive(scene, static, sensor, cfg, settings)
     if cfg.type in (icommon.PSSMLT, icommon.MLT):

@@ -81,6 +81,7 @@ class MaterialTable(NamedTuple):
     twosided: jnp.ndarray    # (M,) bool: flip frame on backface (twosided.cpp)
     opacity_tex: jnp.ndarray # (M,) int32 opacity texture (mask.cpp) or -1
     interior_medium: jnp.ndarray  # (M,) int32 medium id inside the surface (-1 none)
+    exterior_medium: jnp.ndarray  # (M,) int32 medium id outside the surface (-1 none)
     nested_a: jnp.ndarray    # (M,) int32 nested material A (mixture/blend/mask/coating)
     nested_b: jnp.ndarray    # (M,) int32 nested material B (mixture/blend)
     weight: jnp.ndarray      # (M,) mixture weight of A (mixturebsdf weights)
@@ -92,6 +93,8 @@ class MaterialTable(NamedTuple):
     # phase-g live here
     hk_thickness: jnp.ndarray  # (M,)
     hk_g: jnp.ndarray          # (M,) HG phase anisotropy
+    cauchy_b: jnp.ndarray      # (M,) dispersion coefficient (um^2): spectral
+                               # mode shifts dielectric eta by B(1/l^2-1/ld^2)
 
     @property
     def count(self):

@@ -84,6 +84,7 @@ def mis_power(pdf_a, pdf_b):
 # 0: pixel jitter, 1: aperture, 2: time/spare, then per bounce:
 DIM_SENSOR = 0
 DIM_APERTURE = 1
+DIM_WAVELENGTH = 2   # spectral mode hero-wavelength draw
 DIM_BASE = 4
 DIMS_PER_BOUNCE = 4
 DIM_NEE = 0       # 4d: emitter select + 2d position

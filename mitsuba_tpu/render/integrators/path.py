@@ -41,21 +41,78 @@ class _PathState(NamedTuple):
     prev_pdf: jnp.ndarray
     prev_delta: jnp.ndarray
     eta: jnp.ndarray
+    pixel: jnp.ndarray   # per-lane pixel id (rides the wavefront sort)
+    orig: jnp.ndarray    # original lane index, for the final unsort
     n_rays: jnp.ndarray  # issued ray-query counter (closest + shadow)
 
 
+def _sort_wavefront(s: "_PathState", key):
+    """Reorder the whole wavefront by a coherence key with ONE multi-payload
+    lax.sort. XLA argsort/gather/scatter each cost 12-45 ms at 262k rays on
+    v5e, so the per-bounce sort must move all state in a single sort network
+    (payloads add ~0.7 ms each) instead of sort + N gathers. Dead lanes are
+    keyed to the end, which doubles as occupancy compaction: their blocks
+    carry t_max <= t_min and retire in zero sweep iterations."""
+    key = jnp.where(s.active, key >> jnp.uint32(1), jnp.uint32(0xFFFFFFFF))
+    ops = (key,
+           s.L[:, 0], s.L[:, 1], s.L[:, 2],
+           s.thr[:, 0], s.thr[:, 1], s.thr[:, 2],
+           s.o[:, 0], s.o[:, 1], s.o[:, 2],
+           s.d[:, 0], s.d[:, 1], s.d[:, 2],
+           s.active, s.prev_pdf, s.prev_delta, s.eta, s.pixel, s.orig)
+    r = jax.lax.sort(ops, num_keys=1)
+    return _PathState(
+        L=jnp.stack(r[1:4], axis=-1),
+        thr=jnp.stack(r[4:7], axis=-1),
+        o=jnp.stack(r[7:10], axis=-1),
+        d=jnp.stack(r[10:13], axis=-1),
+        active=r[13], prev_pdf=r[14], prev_delta=r[15], eta=r[16],
+        pixel=r[17], orig=r[18], n_rays=s.n_rays,
+    )
+
+
 def li(scene, static, cfg: IntegratorConfig, o, d, seed, pixel, sample,
-       with_stats: bool = False, pixel_spread=None):
+       with_stats: bool = False, pixel_spread=None, spectral_wl=None):
     """Radiance along primary rays o,d (R,3). Returns (R,3), or
     ((R,3), n_rays) with the exact number of issued ray queries (the
     honest kdbench-style rays/s denominator) when with_stats.
 
     ``pixel_spread``: angular pixel size (radians) for ray-cone texture
     filtering at the first bounce (sensor.h sampleRayDifferential +
-    mipmap.h trilinear role); None disables MIP lookups."""
+    mipmap.h trilinear role); None disables MIP lookups.
+
+    ``spectral_wl``: (R, 3) wavelengths (nm) for hero-wavelength spectral
+    transport (the SPECTRUM_SAMPLES>3 mode of spectrum.h:25-32, TPU-native
+    form): the 3 channel slots carry 3 wavelength samples; every RGB
+    reflectance/emission factor is lifted to a smooth spectrum
+    (core.spectrum.uplift_rgb) evaluated at those wavelengths, dielectric
+    eta takes a Cauchy dispersion shift from the material's cauchy_b, and
+    companion slots are zeroed through dispersive delta transmissions
+    (their BSDF value at the hero's refracted direction is zero). The
+    returned (R, 3) is then per-wavelength radiance — convert with
+    core.spectrum.spectral_to_rgb."""
     R = o.shape[0]
     types = static.bsdf_types
     max_depth = cfg.max_depth if cfg.max_depth > 0 else 16
+    if spectral_wl is not None:
+        from ...core import spectrum as spec_mod
+
+        def _lift(v):
+            return spec_mod.uplift_rgb(v, spectral_wl)
+
+        def _lift_emit(v):
+            return spec_mod.uplift_rgb(v, spectral_wl) * spec_mod.d65(
+                spectral_wl)
+    else:
+        def _lift(v):
+            return v
+
+        _lift_emit = _lift
+    # big treelet-BVH scenes: the integrator owns wavefront coherence — one
+    # multi-payload sort per bounce, presorted ray queries (see
+    # scene.wants_wavefront_sort)
+    wsort = scene_mod.wants_wavefront_sort(scene, static)
+    pixel_arr = jnp.broadcast_to(jnp.asarray(pixel, jnp.int32), (R,))
 
     init = _PathState(
         L=jnp.zeros((R, 3)),
@@ -66,6 +123,8 @@ def li(scene, static, cfg: IntegratorConfig, o, d, seed, pixel, sample,
         prev_pdf=jnp.zeros(R),
         prev_delta=jnp.ones(R, bool),  # the sensor vertex counts as delta
         eta=jnp.ones(R),
+        pixel=pixel_arr,
+        orig=jnp.arange(R, dtype=jnp.int32),
         n_rays=jnp.zeros((), jnp.float32),
     )
 
@@ -74,10 +133,12 @@ def li(scene, static, cfg: IntegratorConfig, o, d, seed, pixel, sample,
         first = depth == 1
         dim0 = DIM_BASE + i * DIMS_PER_BOUNCE
         L, thr, o, d, active = s.L, s.thr, s.o, s.d, s.active
+        pixel = s.pixel
         n_rays = s.n_rays + jnp.sum(active.astype(jnp.float32))
 
         its = scene_mod.ray_intersect(
-            scene, static, o, d, 1e-4, jnp.inf, active=active
+            scene, static, o, d, 1e-4, jnp.inf, active=active,
+            presorted=wsort,
         )
 
         # --- escaped rays: environment emitter with MIS (path.cpp:234-248)
@@ -88,7 +149,7 @@ def li(scene, static, cfg: IntegratorConfig, o, d, seed, pixel, sample,
             show = active & ~its.valid
             if cfg.hide_emitters:
                 show = show & ~first
-            L = L + jnp.where(show[..., None], thr * env_L * w[..., None], 0.0)
+            L = L + jnp.where(show[..., None], thr * _lift_emit(env_L) * w[..., None], 0.0)
 
         active = active & its.valid
 
@@ -99,7 +160,7 @@ def li(scene, static, cfg: IntegratorConfig, o, d, seed, pixel, sample,
         show = active & (its.emitter_id >= 0)
         if cfg.hide_emitters:
             show = show & ~first
-        L = L + jnp.where(show[..., None], thr * Le * w_hit[..., None], 0.0)
+        L = L + jnp.where(show[..., None], thr * _lift_emit(Le) * w_hit[..., None], 0.0)
 
         # the final vertex only collects emission (path.cpp depth check)
         extend = active & (depth < max_depth)
@@ -130,20 +191,40 @@ def li(scene, static, cfg: IntegratorConfig, o, d, seed, pixel, sample,
             o_sh = ray_offset(its.p, its.gn, ds.d)
             vis = ~scene_mod.occluded(
                 scene, static, o_sh, ds.d, 0.0, ds.dist * (1.0 - 1e-3),
-                active=nee_ok,
+                active=nee_ok, presorted=wsort,
             )
             wo_local = its.sh_frame.to_local(ds.d)
             f = bsdf_mod.eval(bl, its.wi, wo_local, active_types=types, nested=nst)
             bsdf_pdf_nee = bsdf_mod.pdf(bl, its.wi, wo_local, active_types=types, nested=nst)
             w_nee = jnp.where(ds.delta, 1.0, mis_power(ds.pdf_sa, bsdf_pdf_nee))
-            contrib = thr * f * ds.radiance * m.safe_div(w_nee, ds.pdf_sa)[..., None]
+            contrib = thr * _lift(f) * _lift_emit(ds.radiance) \
+                * m.safe_div(w_nee, ds.pdf_sa)[..., None]
             L = L + jnp.where((nee_ok & vis)[..., None], contrib, 0.0)
 
         # --- BSDF sampling (path.cpp:215-233)
         u_b = rng_mod.uniform4(seed, pixel, sample, dim0 + DIM_BSDF)
+        disp_b = None
+        if spectral_wl is not None:
+            disp_b = scene.materials.cauchy_b[jnp.maximum(its.mat_id, 0)]
+            wl_um = spectral_wl[..., 0] * 1e-3
+            # Cauchy dispersion: eta(l) = eta_d + B (1/l^2 - 1/l_d^2),
+            # hero wavelength only (l_d = 589.3 nm)
+            d_eta = disp_b * (1.0 / (wl_um * wl_um) - 1.0 / 0.5893**2)
+            bl = bl._replace(eta_s=bl.eta_s + d_eta,
+                             eta_c=bl.eta_c + d_eta[..., None])
         bs = bsdf_mod.sample(bl, its.wi, u_b[..., 0], u_b[..., 1:3],
                              active_types=types, nested=nst)
-        thr_new = thr * bs.weight
+        w_step = _lift(bs.weight)
+        if spectral_wl is not None:
+            # companion wavelengths die through dispersive delta
+            # transmission: their delta lobe points elsewhere (value 0)
+            dispersed = (disp_b > 0.0) & bs.is_delta & (bs.eta != 1.0)
+            keep = jnp.concatenate(
+                [jnp.ones((R, 1)),
+                 jnp.where(dispersed[..., None], 0.0, jnp.ones((R, 2)))],
+                axis=-1)
+            w_step = w_step * keep
+        thr_new = thr * w_step
         eta = jnp.where(extend, s.eta * bs.eta, s.eta)
         alive = (jnp.max(thr_new, axis=-1) > 0) & (bs.pdf > 0)
 
@@ -163,7 +244,7 @@ def li(scene, static, cfg: IntegratorConfig, o, d, seed, pixel, sample,
                             thr_new * m.safe_div(1.0, q)[..., None], thr_new)
 
         active_next = extend & alive & survive
-        return _PathState(
+        ns = _PathState(
             L=L,
             thr=jnp.where(active_next[..., None], thr_new, thr),
             o=jnp.where(active_next[..., None], o_new, o),
@@ -172,10 +253,31 @@ def li(scene, static, cfg: IntegratorConfig, o, d, seed, pixel, sample,
             prev_pdf=jnp.where(active_next, bs.pdf, s.prev_pdf),
             prev_delta=jnp.where(active_next, bs.is_delta, s.prev_delta),
             eta=eta,
+            pixel=pixel,
+            orig=s.orig,
             n_rays=n_rays,
         )
+        if wsort:
+            # re-sort the surviving wavefront for the next bounce (skipped
+            # after the last bounce — nothing consumes the order)
+            from ...ops.pallas_bvh import ray_sort_keys
+
+            key = ray_sort_keys(ns.o, ns.d, scene.aabb_lo, scene.aabb_hi)
+            ns = jax.lax.cond(
+                depth < max_depth,
+                lambda st: _sort_wavefront(st, key),
+                lambda st: st,
+                ns,
+            )
+        return ns
 
     out = jax.lax.fori_loop(0, max_depth, bounce, init)
+    if wsort:
+        # restore the caller's lane order with one final sort keyed on the
+        # carried original index (pixel ids may repeat; lane index cannot)
+        r = jax.lax.sort(
+            (out.orig, out.L[:, 0], out.L[:, 1], out.L[:, 2]), num_keys=1)
+        out = out._replace(orig=r[0], L=jnp.stack(r[1:4], axis=-1))
     if with_stats:
         return out.L, out.n_rays
     return out.L

@@ -7,9 +7,11 @@ scattering with MIS against NEE (:155), attenuated next-event estimation
 transmissive boundaries (null/dielectric surfaces swap the per-lane medium
 id — the shape interior/exterior medium mechanism).
 
-Round-1 simplification (documented in docs/PARITY.md): shadow-ray
-transmittance accounts for the segment inside the *current* medium; chains
-of nested media along one shadow ray are not yet walked.
+Shadow rays: when any material carries boundary media
+(static.has_boundary_media) NEE uses Scene-level attenuated transmittance
+(scene.attenuated_transmittance — the sampleAttenuatedEmitterDirect walk
+through null-boundary chains, scene.cpp:854-898); otherwise the cheap
+boolean occlusion + current-medium transmittance suffices.
 """
 from __future__ import annotations
 
@@ -43,6 +45,9 @@ class _VolState(NamedTuple):
     prev_delta: jnp.ndarray
     eta: jnp.ndarray
     medium: jnp.ndarray   # (R,) int32 current medium id (-1 vacuum)
+    p_prev: jnp.ndarray   # (R, 3) last REAL scattering vertex (null
+                          # passthroughs keep it — MIS pdfs convert solid
+                          # angle at that vertex, volpath.cpp bookkeeping)
 
 
 def li(scene, static, cfg: IntegratorConfig, o, d, seed, pixel, sample,
@@ -62,6 +67,7 @@ def li(scene, static, cfg: IntegratorConfig, o, d, seed, pixel, sample,
         prev_delta=jnp.ones(R, bool),
         eta=jnp.ones(R),
         medium=jnp.full(R, camera_medium, jnp.int32),
+        p_prev=o,
     )
 
     def bounce(i, s: _VolState):
@@ -101,7 +107,7 @@ def li(scene, static, cfg: IntegratorConfig, o, d, seed, pixel, sample,
             L = L + jnp.where(show[..., None], thr * env_L * w[..., None], 0.0)
 
         Le = scene_mod.emitted_radiance(scene, static, its, d)
-        lum_pdf_hit = scene_mod.pdf_emitter_hit(scene, its, o)
+        lum_pdf_hit = scene_mod.pdf_emitter_hit(scene, its, s.p_prev)
         w_hit = jnp.where(s.prev_delta, 1.0, mis_power(s.prev_pdf, lum_pdf_hit))
         show = surf_hit & (its.emitter_id >= 0)
         if cfg.hide_emitters:
@@ -136,19 +142,29 @@ def li(scene, static, cfg: IntegratorConfig, o, d, seed, pixel, sample,
                 in_scatter[..., None], p_ref,
                 ray_offset(its.p, its.gn, ds.d),
             )
-            vis = ~scene_mod.occluded(
-                scene, static, o_sh, ds.d, 1e-5, ds.dist * (1.0 - 1e-3),
-                active=nee_ok,
-            )
-            # attenuation through the current medium along the shadow ray
-            if mtypes:
-                tr = med_mod.eval_transmittance(
-                    med, mtypes, s.medium, o_sh, ds.d,
-                    jnp.minimum(ds.dist, t_surf), seed, pixel, sample,
-                    dim0 + 128, nee_ok,
+            if static.has_boundary_media:
+                # walk the shadow segment through all null-boundary media
+                # (scene.cpp:854-898); occlusion by opaque hits -> tr == 0
+                tr = scene_mod.attenuated_transmittance(
+                    scene, static, o_sh, ds.d, ds.dist * (1.0 - 1e-3),
+                    s.medium, seed, pixel, sample, dim0 + 128,
+                    active=nee_ok,
                 )
+                vis = jnp.ones(R, bool)
             else:
-                tr = jnp.ones((R, 3))
+                vis = ~scene_mod.occluded(
+                    scene, static, o_sh, ds.d, 1e-5, ds.dist * (1.0 - 1e-3),
+                    active=nee_ok,
+                )
+                # attenuation through the current medium only
+                if mtypes:
+                    tr = med_mod.eval_transmittance(
+                        med, mtypes, s.medium, o_sh, ds.d,
+                        jnp.minimum(ds.dist, t_surf), seed, pixel, sample,
+                        dim0 + 128, nee_ok,
+                    )
+                else:
+                    tr = jnp.ones((R, 3))
 
             # scattering function value toward the emitter
             wo_local = its.sh_frame.to_local(ds.d)
@@ -193,15 +209,29 @@ def li(scene, static, cfg: IntegratorConfig, o, d, seed, pixel, sample,
 
         thr_new = thr * w_step
         eta = jnp.where(extend_surf, s.eta * bs.eta, s.eta)
-        alive = (jnp.max(thr_new, axis=-1) > 0) & (new_pdf > 0)
+        # a NULL boundary is a continuation, not a vertex (volpath.cpp
+        # ENull handling): crossing it must not launder the path into a
+        # "delta bounce" (that would double-count emitters against NEE
+        # from the previous REAL vertex) nor move the MIS reference point
+        null_pass = extend_surf & (
+            scene.materials.type[jnp.maximum(its.mat_id, 0)]
+            == bsdf_mod.NULL)
+        new_pdf = jnp.where(null_pass, s.prev_pdf, new_pdf)
+        new_delta = jnp.where(null_pass, s.prev_delta, new_delta)
+        p_scat = jnp.where(
+            null_pass[..., None], s.p_prev,
+            jnp.where(in_scatter[..., None] if mtypes else False,
+                      ms.p if mtypes else its.p, its.p))
+        alive = jnp.max(thr_new, axis=-1) > 0
 
         # --- medium transitions at transmissive surfaces ---
         if mtypes:
             crossed = extend_surf & (m.dot(d_surf, its.gn) * m.dot(d, its.gn) > 0)
             entering = crossed & (m.dot(d_surf, its.gn) < 0)
             interior = scene.materials.interior_medium[jnp.maximum(its.mat_id, 0)]
+            exterior = scene.materials.exterior_medium[jnp.maximum(its.mat_id, 0)]
             new_medium = jnp.where(
-                crossed, jnp.where(entering, interior, -1), s.medium
+                crossed, jnp.where(entering, interior, exterior), s.medium
             )
         else:
             new_medium = s.medium
@@ -227,6 +257,7 @@ def li(scene, static, cfg: IntegratorConfig, o, d, seed, pixel, sample,
             prev_delta=jnp.where(active_next, new_delta, s.prev_delta),
             eta=eta,
             medium=jnp.where(active_next, new_medium, s.medium),
+            p_prev=jnp.where(active_next[..., None], p_scat, s.p_prev),
         )
 
     out = jax.lax.fori_loop(0, max_depth, bounce, init)

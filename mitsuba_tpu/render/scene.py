@@ -17,6 +17,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import NamedTuple, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -88,7 +89,7 @@ class Scene(NamedTuple):
     sph_emitter: jnp.ndarray  # (S,)
     # acceleration
     bvh: DeviceBVH
-    bvh_rows: jnp.ndarray     # (N, 64) packed fat-node rows (pallas traversal)
+    bvh_rows: jnp.ndarray     # (N/4, 128) slot-packed slim node rows (pallas)
     # treelet cut of the preorder node stream (two-level traversal; K >= 2
     # enables the bounded-sweep fast path for incoherent rays)
     tl_root: jnp.ndarray      # (K,) int32 treelet root rows
@@ -123,12 +124,13 @@ class SceneStatic:
     nested_bsdf_types: tuple = ()  # bsdf tags reachable via nested_a/nested_b
     has_normal_maps: bool = False  # any material has a normal/bump texture
     has_sss: bool = False      # any material references a subsurface profile
+    has_boundary_media: bool = False  # any material carries an interior/exterior medium
 
 
 # === device queries =======================================================
 
 def ray_intersect(scene: Scene, static: SceneStatic, o, d, t_min, t_max,
-                  active=None) -> Interaction:
+                  active=None, presorted: bool = False) -> Interaction:
     """Closest-hit + full surface interaction record (the reference's
     Scene::rayIntersect + fillIntersectionRecord, split reference
     skdtree.cpp:112 / shape.h)."""
@@ -144,19 +146,14 @@ def ray_intersect(scene: Scene, static: SceneStatic, o, d, t_min, t_max,
     if T > 0:
         if static.use_bvh:
             if _pallas_bvh_ok(static):
-                from ..ops.pallas_bvh import bvh_traverse, bvh_traverse_treelets
+                from ..ops.pallas_bvh import bvh_traverse_treelets
 
-                if scene.tl_root.shape[0] > 1:
-                    hit_t, tri_t, tri_idx, tri_u, tri_v = bvh_traverse_treelets(
-                        scene.bvh_rows, scene.tl_root, scene.tl_skip,
-                        scene.tl_lo, scene.tl_hi, o, d, t_min, t_max,
-                        scene.aabb_lo, scene.aabb_hi,
-                    )
-                else:
-                    hit_t, tri_t, tri_idx, tri_u, tri_v = bvh_traverse(
-                        scene.bvh_rows, o, d, t_min, t_max,
-                        scene.aabb_lo, scene.aabb_hi,
-                    )
+                hit_t, tri_t, tri_idx, tri_u, tri_v = bvh_traverse_treelets(
+                    scene.bvh_rows, scene.tl_root, scene.tl_skip,
+                    scene.tl_lo, scene.tl_hi, o, d, t_min, t_max,
+                    scene.aabb_lo, scene.aabb_hi, sort=not presorted,
+                    slim=True,
+                )
             else:
                 hit_t, tri_t, tri_idx, tri_u, tri_v = bvh_closest_hit(
                     scene.bvh, o, d, t_min, t_max
@@ -341,7 +338,8 @@ def _perturb_frame(scene: Scene, tri_idx, uv, mat_id, frame: Frame) -> Frame:
     )
 
 
-def occluded(scene: Scene, static: SceneStatic, o, d, t_min, t_max, active=None):
+def occluded(scene: Scene, static: SceneStatic, o, d, t_min, t_max,
+             active=None, presorted: bool = False):
     """Boolean shadow-ray query (skdtree.cpp:207 fast path)."""
     R = o.shape[0]
     t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (R,))
@@ -352,19 +350,14 @@ def occluded(scene: Scene, static: SceneStatic, o, d, t_min, t_max, active=None)
     if static.n_tris > 0:
         if static.use_bvh:
             if _pallas_bvh_ok(static):
-                from ..ops.pallas_bvh import bvh_traverse, bvh_traverse_treelets
+                from ..ops.pallas_bvh import bvh_traverse_treelets
 
-                if scene.tl_root.shape[0] > 1:
-                    h, _, _, _, _ = bvh_traverse_treelets(
-                        scene.bvh_rows, scene.tl_root, scene.tl_skip,
-                        scene.tl_lo, scene.tl_hi, o, d, t_min, t_max,
-                        scene.aabb_lo, scene.aabb_hi, any_hit=True,
-                    )
-                else:
-                    h, _, _, _, _ = bvh_traverse(
-                        scene.bvh_rows, o, d, t_min, t_max,
-                        scene.aabb_lo, scene.aabb_hi, any_hit=True,
-                    )
+                h, _, _, _, _ = bvh_traverse_treelets(
+                    scene.bvh_rows, scene.tl_root, scene.tl_skip,
+                    scene.tl_lo, scene.tl_hi, o, d, t_min, t_max,
+                    scene.aabb_lo, scene.aabb_hi, any_hit=True,
+                    sort=not presorted, slim=True,
+                )
                 occ = h
             else:
                 occ = bvh_any_hit(scene.bvh, o, d, t_min, t_max)
@@ -386,6 +379,82 @@ def occluded(scene: Scene, static: SceneStatic, o, d, t_min, t_max, active=None)
         )
         occ = occ | hs
     return occ
+
+
+def wants_wavefront_sort(scene: Scene, static: SceneStatic) -> bool:
+    """True when the integrator should keep its wavefront coherence-sorted
+    itself (one multi-payload lax.sort per bounce) and call ray queries
+    with presorted=True. This replaces the per-query sort+unsort inside
+    the treelet traversal (argsort + gathers measured ~12-45 ms EACH at
+    262k rays on v5e — the dominant cost of a naive per-query sort)."""
+    # Measured on v5e (139k-tri bench scene, 262k rays): the 19-payload
+    # wavefront sort costs ~100 ms and the treelet-first key inside the
+    # traversal beats the wavefront key by more than the per-query sort
+    # machinery costs once that machinery uses multi-payload lax.sort.
+    # Internal per-query sorting therefore wins; keep the wavefront path
+    # available for experiments but off by default.
+    return False
+
+
+def attenuated_transmittance(scene: Scene, static: SceneStatic, o, d, dist,
+                             medium0, seed, pixel, sample, dim0,
+                             active=None, max_crossings=4):
+    """Transmittance along a shadow segment through chains of nested media
+    (Scene::evalTransmittance / sampleAttenuatedEmitterDirect,
+    scene.cpp:854-898): marches the segment through NULL-BSDF boundaries,
+    switching the per-lane medium via the hit material's interior/exterior
+    medium ids and accumulating each traversed medium's transmittance. Any
+    non-null hit occludes (returns 0). Bounded at ``max_crossings``
+    boundary crossings (the reference's while loop is unbounded; shadow
+    chains deeper than this return 0 — conservative, never brightening).
+
+    Returns (R, 3) transmittance; lanes with ``active`` False return 1.
+    """
+    from . import bsdf as bsdf_mod
+    from . import medium as med_mod
+
+    R = o.shape[0]
+    dist = jnp.broadcast_to(jnp.asarray(dist, jnp.float32), (R,))
+    mtypes = static.medium_types
+
+    def step(i, carry):
+        tr, t_ofs, med_id, alive = carry
+        its = ray_intersect(scene, static, o, d, t_ofs + 1e-4, dist,
+                            active=alive)
+        seg_end = jnp.where(its.valid, its.t, dist)
+        if mtypes:
+            seg_tr = med_mod.eval_transmittance(
+                scene.media, mtypes, med_id,
+                o + t_ofs[..., None] * d, d,
+                jnp.maximum(seg_end - t_ofs, 0.0),
+                seed, pixel, sample, dim0 + 8 * i, alive,
+            )
+            tr = tr * jnp.where(alive[..., None], seg_tr, 1.0)
+        mat = jnp.maximum(its.mat_id, 0)
+        is_null = scene.materials.type[mat] == bsdf_mod.NULL
+        blocked = alive & its.valid & ~is_null
+        tr = jnp.where(blocked[..., None], 0.0, tr)
+        # pass through the null boundary: switch medium by crossing side
+        crossing = alive & its.valid & is_null
+        entering = m.dot(d, its.gn) < 0
+        interior = scene.materials.interior_medium[mat]
+        exterior = scene.materials.exterior_medium[mat]
+        med_id = jnp.where(
+            crossing, jnp.where(entering, interior, exterior), med_id
+        )
+        t_ofs = jnp.where(crossing, its.t, t_ofs)
+        return (tr, t_ofs, med_id, crossing)
+
+    carry = (
+        jnp.ones((R, 3)),
+        jnp.zeros(R),
+        jnp.broadcast_to(jnp.asarray(medium0, jnp.int32), (R,)),
+        active if active is not None else jnp.ones(R, bool),
+    )
+    tr, _, _, still_crossing = jax.lax.fori_loop(
+        0, max_crossings + 1, step, carry)
+    # chains deeper than the bound: conservative occlusion (never brightens)
+    return jnp.where(still_crossing[..., None], 0.0, tr)
 
 
 def uv_footprint(scene: Scene, its: Interaction, spread):
@@ -433,7 +502,7 @@ def eval_albedo(scene: Scene, its: Interaction, static: SceneStatic = None,
     # unrelated triangle's attributes (advisor finding)
     prim = jnp.where(its.prim_id < scene.tri_p0.shape[0], its.prim_id, -1)
     return eval_texture(scene.textures, tex_id, its.uv, base,
-                        bary=its.bary, prim=prim, fp_uv=fp_uv)
+                        bary=its.bary, prim=prim, fp_uv=fp_uv, p=its.p)
 
 
 def bsdf_locals(scene: Scene, its: Interaction,
@@ -551,6 +620,7 @@ class SceneBuilder:
         twosided: bool = False,
         opacity_tex: int = -1,
         interior_medium: int = -1,
+        exterior_medium: int = -1,
         nested_a: int = -1,
         nested_b: int = -1,
         weight: float = 0.5,
@@ -561,6 +631,7 @@ class SceneBuilder:
         hk_thickness: float = 1.0,
         hk_g: float = 0.0,
         subsurface: int = -1,
+        cauchy_b: float = 0.0,
     ) -> int:
         if np.isscalar(eta):
             eta = (float(eta),) * 3
@@ -574,10 +645,12 @@ class SceneBuilder:
                 alpha_tex=alpha_tex, dist=dist, nonlinear=nonlinear,
                 twosided=twosided, opacity_tex=opacity_tex,
                 interior_medium=interior_medium,
+                exterior_medium=exterior_medium,
                 nested_a=nested_a, nested_b=nested_b, weight=weight,
                 weight_tex=weight_tex, normal_tex=normal_tex,
                 bump_tex=bump_tex, bump_scale=bump_scale,
                 hk_thickness=hk_thickness, hk_g=hk_g, subsurface=subsurface,
+                cauchy_b=cauchy_b,
             )
         )
         return len(self.mats) - 1
@@ -790,6 +863,20 @@ class SceneBuilder:
                  uv_scale=(1, 1), uv_offset=(0, 0), line_width=0.01,
                  scale=(curv_scale,) * 3, bitmap=-1)
         )
+        return len(self.textures) - 1
+
+    def add_texture_noise(self, color0=(0.2,) * 3, color1=(0.8,) * 3,
+                          frequency: float = 4.0) -> int:
+        """Perlin-fbm noise over the hit position (libcore noise.cpp:7
+        role): lerp(color0, color1, fbm(freq * p))."""
+        from .texture import TEX_NOISE
+
+        self.textures.append(dict(
+            type=TEX_NOISE, color0=tuple(color0), color1=tuple(color1),
+            uv_scale=(float(frequency), float(frequency)),
+            uv_offset=(0.0, 0.0), line_width=4.0, scale=(1.0,) * 3,
+            bitmap=-1,
+        ))
         return len(self.textures) - 1
 
     def add_texture_scale(self, nested: int, value) -> int:
@@ -1085,6 +1172,8 @@ class SceneBuilder:
             opacity_tex=jnp.asarray([mm["opacity_tex"] for mm in self.mats], jnp.int32),
             interior_medium=jnp.asarray(
                 [mm.get("interior_medium", -1) for mm in self.mats], jnp.int32),
+            exterior_medium=jnp.asarray(
+                [mm.get("exterior_medium", -1) for mm in self.mats], jnp.int32),
             nested_a=jnp.asarray([mm.get("nested_a", -1) for mm in self.mats], jnp.int32),
             nested_b=jnp.asarray([mm.get("nested_b", -1) for mm in self.mats], jnp.int32),
             weight=jnp.asarray([mm.get("weight", 0.5) for mm in self.mats], jnp.float32),
@@ -1094,6 +1183,7 @@ class SceneBuilder:
             bump_scale=jnp.asarray([mm.get("bump_scale", 1.0) for mm in self.mats], jnp.float32),
             hk_thickness=jnp.asarray([mm.get("hk_thickness", 1.0) for mm in self.mats], jnp.float32),
             hk_g=jnp.asarray([mm.get("hk_g", 0.0) for mm in self.mats], jnp.float32),
+            cauchy_b=jnp.asarray([mm.get("cauchy_b", 0.0) for mm in self.mats], jnp.float32),
         )
 
         corners = None
@@ -1117,7 +1207,7 @@ class SceneBuilder:
 
         # BVH (only if worthwhile)
         use_bvh = T > BRUTE_FORCE_MAX_TRIS
-        bvh_rows = np.zeros((1, 64), np.float32)
+        bvh_rows = np.zeros((1, 128), np.float32)
         tl_root = np.zeros(1, np.int32)
         tl_skip = np.ones(1, np.int32)
         tl_lo = np.zeros((1, 3), np.float32)
@@ -1125,15 +1215,19 @@ class SceneBuilder:
         if T > 0:
             lo, hi = triangle_aabbs(tp0, tp0 + te1, tp0 + te2)
             if use_bvh:
-                host_bvh = build_bvh(lo, hi)
+                # leaf_size-1 tree + slot-packed slim rows: one box OR one
+                # triangle test per visited node (ops/pallas_bvh.py slim
+                # layout — measured faster on incoherent bounce rays and
+                # 4x smaller than fat rows)
+                host_bvh = build_bvh(lo, hi, leaf_size=1)
                 from ..accel.build import treelet_roots
-                from ..ops.pallas_bvh import pack_nodes
+                from ..ops.pallas_bvh import pack_nodes_slim
 
-                bvh_rows = pack_nodes(
+                bvh_rows = pack_nodes_slim(
                     host_bvh, tp0.astype(np.float32), te1.astype(np.float32),
                     te2.astype(np.float32),
                 )
-                roots = treelet_roots(host_bvh)
+                roots = treelet_roots(host_bvh, max_nodes=4096)
                 tl_root = roots
                 tl_skip = host_bvh.skip[roots].astype(np.int32)
                 tl_lo = host_bvh.lo[roots]
@@ -1216,6 +1310,9 @@ class SceneBuilder:
                 for mm in self.mats
             ),
             has_sss=any(mm.get("subsurface", -1) >= 0 for mm in self.mats),
+            has_boundary_media=any(
+                mm.get("interior_medium", -1) >= 0
+                or mm.get("exterior_medium", -1) >= 0 for mm in self.mats),
         )
         return scene, static
 

@@ -28,6 +28,7 @@ TEX_GRID = 3
 TEX_WIREFRAME = 4
 TEX_VERTEXCOLORS = 5
 TEX_CURVATURE = 6
+TEX_NOISE = 7       # Perlin fbm over the hit position (libcore noise.cpp)
 
 
 class TextureTable(NamedTuple):
@@ -69,7 +70,7 @@ class TextureTable(NamedTuple):
 
 
 def eval_texture(tt: TextureTable, tex_id, uv, default,
-                 bary=None, prim=None, lod=None, fp_uv=None):
+                 bary=None, prim=None, lod=None, fp_uv=None, p=None):
     """Evaluate textures for a batch: tex_id (R,) int32 (-1 -> default),
     uv (R, 2), default (R, 3). Optional: bary (R, 2) triangle barycentrics
     + prim (R,) triangle ids (wireframe/vertexcolors/curvature), lod (R,)
@@ -106,6 +107,19 @@ def eval_texture(tt: TextureTable, tex_id, uv, default,
     on_line = (fu < lw) | (fu > 1.0 - lw) | (fv < lw) | (fv > 1.0 - lw)
     v_grid = jnp.where(on_line[..., None], tt.color1[tid], tt.color0[tid])
     out = jnp.where((ttype == TEX_GRID)[..., None], v_grid, out)
+
+    # Perlin-fbm procedural noise over the world-space hit position
+    # (libcore noise.cpp role): lerp(color0, color1, fbm in [0,1]);
+    # uv_scale[0] is the spatial frequency, line_width the octave count
+    # (static 4 used here; the field is kept for forward compat)
+    if p is not None:
+        from ..core.noise import fbm
+
+        freq = tt.uv_scale[tid][..., 0]
+        nval = 0.5 * (fbm(p * freq[..., None], octaves=4) + 1.0)
+        v_noise = (tt.color0[tid]
+                   + nval[..., None] * (tt.color1[tid] - tt.color0[tid]))
+        out = jnp.where((ttype == TEX_NOISE)[..., None], v_noise, out)
 
     # bitmap.cpp: bilinear (or trilinear MIP) lookup with repeat wrapping
     if lod is None:

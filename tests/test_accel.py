@@ -194,3 +194,45 @@ def test_pallas_brute_force_matches_xla():
     hx = np.asarray(h_x)
     np.testing.assert_allclose(np.asarray(t_x)[hx], np.asarray(t_p)[hx],
                                rtol=1e-4, atol=1e-5)
+
+
+def test_slim_layout_matches_xla(small_mesh_scene=None):
+    """Slim slot-packed leaf-1 traversal (interpret mode) agrees with the
+    XLA skip-link reference on random rays."""
+    import jax.numpy as jnp
+    from mitsuba_tpu.accel.build import build_bvh, triangle_aabbs, treelet_roots
+    from mitsuba_tpu.accel.traverse import DeviceBVH, bvh_closest_hit
+    from mitsuba_tpu.ops.pallas_bvh import pack_nodes_slim, bvh_traverse_treelets
+
+    rng = np.random.default_rng(3)
+    T = 600
+    p0 = rng.uniform(-1, 1, (T, 3)).astype(np.float32)
+    e1 = rng.uniform(-0.2, 0.2, (T, 3)).astype(np.float32)
+    e2 = rng.uniform(-0.2, 0.2, (T, 3)).astype(np.float32)
+    lo, hi = triangle_aabbs(p0, p0 + e1, p0 + e2)
+    bvh = build_bvh(lo, hi, leaf_size=1)
+    rows = jnp.asarray(pack_nodes_slim(bvh, p0, e1, e2))
+    roots = treelet_roots(bvh, max_nodes=256, max_roots=64)
+    tl_root = jnp.asarray(roots)
+    tl_skip = jnp.asarray(bvh.skip[roots])
+    tl_lo = jnp.asarray(bvh.lo[roots])
+    tl_hi = jnp.asarray(bvh.hi[roots])
+    dev = DeviceBVH.from_host(bvh, p0, e1, e2)
+
+    R = 1024
+    o = jnp.asarray(rng.uniform(-2, 2, (R, 3)).astype(np.float32))
+    d = rng.normal(size=(R, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    d = jnp.asarray(d)
+    tmin = jnp.zeros(R)
+    tmax = jnp.full(R, np.inf)
+    h0, t0, i0, u0, v0 = bvh_closest_hit(dev, o, d, tmin, tmax)
+    h1, t1, i1, u1, v1 = bvh_traverse_treelets(
+        rows, tl_root, tl_skip, tl_lo, tl_hi, o, d, tmin, tmax,
+        jnp.asarray(lo.min(0)), jnp.asarray(hi.max(0)),
+        interpret=True, slim=True)
+    h0, h1 = np.asarray(h0), np.asarray(h1)
+    assert (h0 == h1).mean() > 0.999
+    both = h0 & h1
+    assert np.allclose(np.asarray(t0)[both], np.asarray(t1)[both], rtol=1e-4)
+    assert (np.asarray(i0)[both] == np.asarray(i1)[both]).mean() > 0.99

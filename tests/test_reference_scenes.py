@@ -1,0 +1,223 @@
+"""The reference's own radiometric scene tier, loaded UNMODIFIED.
+
+Mitsuba 0.6 ships six tiny analytic scenes (/root/reference/data/tests/
+*.xml, run by `mtsutil -t` + mfilm numeric output — SURVEY.md §4 tier 2).
+These tests load those exact files through io/mitsuba_xml.py and assert
+the closed-form answers they encode:
+
+* test_bidir_0.xml — irradiance between coaxial parallel disks (r=1, gap 2):
+  E = pi * L * F12 with the standard disk-disk view factor, F12 = 0.171573
+  -> E = 0.53902 (ptracer + irradiancemeter + 128k samples in the
+  reference; forward path/direct from the meter here).
+* test_bidir_2.xml — same geometry with a sigma_a=1 homogeneous medium
+  attached as the *exterior* of a null boundary disk at z=0: exercises
+  medium transitions and the attenuated shadow-ray walk
+  (Scene::sampleAttenuatedEmitterDirect, scene.cpp:854-898). Expected
+  value from a deterministic quadrature of the same integral.
+* test_bidir_1.xml — collimated beam aimed into a radiancemeter
+  (delta-delta alignment): load/render smoke (documented limitation:
+  the degenerate delta-delta connection carries no energy here).
+* test_bsdf.xml / test_phase.xml — the chi-square consistency rosters:
+  every declaration must parse, and sampled distributions must match
+  their pdfs (test_chisquare.cpp:30 role).
+* test_emitter.xml — references an envmap file the reference repo does
+  not ship; must degrade with a warning, not die (scenehandler logging
+  behavior).
+"""
+import math
+import os
+
+import numpy as np
+import pytest
+
+from mitsuba_tpu.io.mitsuba_xml import load_scene
+from mitsuba_tpu.render import api
+from mitsuba_tpu.render.integrators.common import (
+    IntegratorConfig, PATH, VOLPATH)
+
+REF = "/root/reference/data/tests"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF), reason="reference test scenes not present")
+
+
+def _disk_view_factor():
+    # coaxial equal disks, r=1, h=2 (standard two-disk view factor)
+    R1 = R2 = 0.5
+    X = 1.0 + (1.0 + R2 * R2) / (R1 * R1)
+    return 0.5 * (X - math.sqrt(X * X - 4.0 * (R2 / R1) ** 2))
+
+
+def test_bidir_0_parallel_disk_irradiance():
+    ls = load_scene(f"{REF}/test_bidir_0.xml")
+    assert ls.settings.width == 1 and ls.settings.height == 1
+    assert ls.settings.spp == 128000
+    from dataclasses import replace
+    settings = replace(ls.settings, spp=1 << 16)
+    img = np.asarray(api.render(ls.scene, ls.static, ls.sensor,
+                                IntegratorConfig(type=PATH, max_depth=3),
+                                settings))
+    expected = math.pi * _disk_view_factor()  # 0.53902
+    got = float(img.mean())
+    assert abs(got - expected) < 0.03 * expected, (got, expected)
+
+
+def _bidir_2_expected(n=2_000_000, sigma=1.0, seed=7):
+    """Deterministic MC quadrature of the attenuated disk-disk integral:
+    receiver disk at z=-1, null medium boundary disk at z=0 (exterior =
+    absorbing), emitter disk at z=+1 (L=1). E = pi * mean over
+    (uniform receiver point, cosine direction) of
+    [hits emitter] * exp(-sigma * 1/cos) ** [crossed z=0 disk]."""
+    rng = np.random.default_rng(seed)
+    r = np.sqrt(rng.random(n))
+    ph = 2 * np.pi * rng.random(n)
+    px, py = r * np.cos(ph), r * np.sin(ph)
+    u1, u2 = rng.random(n), rng.random(n)
+    ct = np.sqrt(1.0 - u1)  # cosine-weighted
+    st = np.sqrt(u1)
+    dph = 2 * np.pi * u2
+    wx, wy = st * np.cos(dph), st * np.sin(dph)
+    # crossing points of z=0 (t=1/ct from z=-1) and z=+1 (t=2/ct)
+    q0 = np.hypot(px + wx / ct, py + wy / ct)
+    q1 = np.hypot(px + 2 * wx / ct, py + 2 * wy / ct)
+    hit = q1 <= 1.0
+    att = np.where(q0 <= 1.0, np.exp(-sigma / ct), 1.0)
+    return np.pi * np.mean(hit * att)
+
+
+@pytest.mark.slow
+def test_bidir_2_attenuated_disk_irradiance():
+    ls = load_scene(f"{REF}/test_bidir_2.xml")
+    assert ls.static.has_boundary_media
+    from dataclasses import replace
+    settings = replace(ls.settings, spp=1 << 16)
+    img = np.asarray(api.render(ls.scene, ls.static, ls.sensor,
+                                IntegratorConfig(type=VOLPATH, max_depth=4),
+                                settings))
+    expected = _bidir_2_expected()
+    got = float(img.mean())
+    assert abs(got - expected) < 0.05 * expected, (got, expected)
+
+
+def test_bidir_1_loads_and_renders():
+    ls = load_scene(f"{REF}/test_bidir_1.xml")
+    assert ls.settings.width == 1
+    from dataclasses import replace
+    settings = replace(ls.settings, spp=16)
+    img = np.asarray(api.render(ls.scene, ls.static, ls.sensor,
+                                IntegratorConfig(type=PATH, max_depth=2),
+                                settings))
+    assert np.all(np.isfinite(img))
+
+
+def test_bsdf_roster_parses():
+    from mitsuba_tpu.io.mitsuba_xml import XMLSceneLoader
+
+    ldr = XMLSceneLoader(f"{REF}/test_bsdf.xml")
+    ldr.load()
+    # the roster declares 31 bsdfs; every one must land in the builder
+    # (nested declarations add extra material rows — count top-level)
+    assert len(ldr.toplevel_bsdfs) >= 29, len(ldr.toplevel_bsdfs)
+
+
+@pytest.mark.slow
+def test_bsdf_roster_chi2_subset():
+    """Chi-square sample/pdf consistency for a cross-section of the
+    reference's BSDF roster as DECLARED in test_bsdf.xml (the
+    test_chisquare.cpp role, run against our loader's materialization)."""
+    import jax.numpy as jnp
+    from mitsuba_tpu.core import rng
+    from mitsuba_tpu.io.mitsuba_xml import XMLSceneLoader
+    from mitsuba_tpu.render import bsdf as B
+    from mitsuba_tpu.utils.chi2 import chi2_test
+
+    ldr = XMLSceneLoader(f"{REF}/test_bsdf.xml")
+    ls = ldr.load()
+    mats = ls.scene.materials
+    types = ls.static.bsdf_types
+    nested = None
+    if ls.static.nested_bsdf_types:
+        from mitsuba_tpu.render import scene as scene_mod
+
+    want = {B.DIFFUSE, B.ROUGH_DIELECTRIC, B.ROUGH_CONDUCTOR, B.PHONG,
+            B.WARD, B.DIFFTRANS, B.ROUGH_DIFFUSE}
+    wi1 = jnp.asarray([0.31, 0.1, 0.945])
+    wi1 = wi1 / jnp.linalg.norm(wi1)
+    tested = set()
+    for mid in ldr.toplevel_bsdfs:
+        t = int(mats.type[mid])
+        if t not in want or t in tested:
+            continue
+        tested.add(t)
+
+        def sample_fn(n, mid=mid):
+            ids = jnp.full(n, mid, jnp.int32)
+            bl = B.gather_locals(mats, ids)
+            wi = jnp.broadcast_to(wi1, (n, 3))
+            u = rng.uniform4(mid * 7 + 3, jnp.arange(n, dtype=jnp.int32), 0, 0)
+            bs = B.sample(bl, wi, u[..., 0], u[..., 1:3], active_types=types)
+            ok = (bs.pdf > 0) & ~bs.is_delta
+            import numpy as _np
+            return _np.where(_np.asarray(ok)[:, None], _np.asarray(bs.wo), 0.0)
+
+        def pdf_fn(d, mid=mid):
+            n = d.shape[0]
+            ids = jnp.full(n, mid, jnp.int32)
+            bl = B.gather_locals(mats, ids)
+            wi = jnp.broadcast_to(wi1, (n, 3))
+            return B.pdf(bl, wi, d, active_types=types)
+
+        ok, pval, stat, dof, info = chi2_test(
+            sample_fn, pdf_fn, n_samples=400_000, significance=0.0005)
+        assert ok, f"bsdf type {t}: {info}"
+    assert len(tested) >= 5
+
+
+def test_phase_roster_chi2():
+    import jax.numpy as jnp
+    from mitsuba_tpu.core import rng
+    from mitsuba_tpu.io.mitsuba_xml import XMLSceneLoader
+    from mitsuba_tpu.render import phase as PH
+    from mitsuba_tpu.utils.chi2 import chi2_test
+
+    ldr = XMLSceneLoader(f"{REF}/test_phase.xml")
+    ldr.load()
+    assert len(ldr.toplevel_phases) == 5
+    name_to_tag = {"isotropic": PH.ISOTROPIC, "rayleigh": PH.RAYLEIGH,
+                   "hg": PH.HG, "microflake": PH.MICROFLAKE}
+    wi = jnp.asarray([[0.0, 0.0, 1.0]])
+
+    def params(n, g=0.0, sigma=0.1):
+        return PH.PhaseParams(
+            g=jnp.full(n, g), g2=jnp.zeros(n), w2=jnp.zeros(n),
+            ks=jnp.zeros(n), exponent=jnp.full(n, 4.0),
+            sigma=jnp.full(n, sigma),
+            axis=jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (n, 3)),
+        )
+
+    for decl in ldr.toplevel_phases:
+        tag = name_to_tag[decl["type"]]
+        g = float(decl.get("g", 0.0))
+        sigma = float(decl.get("stddev", 0.1))
+
+        def sample_fn(n, tag=tag, g=g, sigma=sigma):
+            w = jnp.broadcast_to(wi, (n, 3))
+            u = rng.uniform2(tag * 31 + 5, jnp.arange(n, dtype=jnp.int32), 0, 0)
+            wo, _, _ = PH.sample(jnp.full(n, tag), params(n, g, sigma), w, u,
+                                 active_types=(tag,))
+            return np.asarray(wo)
+
+        def pdf_fn(d, tag=tag, g=g, sigma=sigma):
+            n = d.shape[0]
+            w = jnp.broadcast_to(wi, (n, 3))
+            return PH.eval_pdf(jnp.full(n, tag), params(n, g, sigma), w, d,
+                               active_types=(tag,))[1]
+
+        ok, pval, stat, dof, info = chi2_test(sample_fn, pdf_fn,
+                                              n_samples=200_000)
+        assert ok, f"{decl}: {info}"
+
+
+def test_emitter_scene_degrades_gracefully():
+    ls = load_scene(f"{REF}/test_emitter.xml")  # envmap file absent: warn
+    assert ls.static.n_spheres == 1 or ls.static.n_tris > 0

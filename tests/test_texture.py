@@ -135,3 +135,36 @@ def test_ray_cone_mip_grazing():
     # filtered: tight around the mean; unfiltered: strongly bimodal
     assert outs[True].std() < 0.6 * outs[False].std(), (
         outs[True].std(), outs[False].std())
+
+
+def test_perlin_noise_texture():
+    """Perlin-fbm texture (libcore noise.cpp role): band-limited, smooth,
+    deterministic, zero-mean at the noise level; the texture lerps
+    color0..color1."""
+    import jax.numpy as jnp
+    from mitsuba_tpu.core.noise import perlin_3d
+    from mitsuba_tpu.render.scene import SceneBuilder
+    from mitsuba_tpu.render.texture import eval_texture
+
+    pts = jnp.asarray(np.random.default_rng(0).uniform(0, 8, (50_000, 3)),
+                      jnp.float32)
+    v = np.asarray(perlin_3d(pts))
+    assert abs(v.mean()) < 0.02 and 0.1 < v.std() < 0.5
+    # zero at lattice points, C1-smooth nearby
+    lat = jnp.asarray(np.random.default_rng(1).integers(0, 9, (64, 3)),
+                      jnp.float32)
+    assert np.allclose(np.asarray(perlin_3d(lat)), 0.0, atol=1e-5)
+    assert np.allclose(np.asarray(perlin_3d(pts)), v)  # deterministic
+
+    b = SceneBuilder()
+    t = b.add_texture_noise(color0=(0.0, 0.0, 0.0), color1=(1.0, 1.0, 1.0),
+                            frequency=3.0)
+    b.add_mesh([[0, 0, 0], [1, 0, 0], [0, 1, 0]], [[0, 1, 2]],
+               b.add_material(albedo_tex=t))
+    scene, static = b.build()
+    uv = jnp.zeros((50_000, 2))
+    out = np.asarray(eval_texture(
+        scene.textures, jnp.full(50_000, t, jnp.int32), uv,
+        jnp.zeros((50_000, 3)), p=pts))
+    assert 0.3 < out.mean() < 0.7 and out.std() > 0.05
+    assert out.min() >= -0.2 and out.max() <= 1.2

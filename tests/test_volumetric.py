@@ -182,3 +182,56 @@ def test_heterogeneous_matches_homogeneous_constant_grid():
     img_h = _render(scene_h, static_h, sens, cfg, wh=4, spp=512)
     img_g = _render(scene_g, static_g, sens, cfg, wh=4, spp=1024)
     np.testing.assert_allclose(img_g.mean(), img_h.mean(), rtol=0.05)
+
+
+def test_attenuated_transmittance_nested_slab():
+    """Shadow-segment walk through null-boundary media chains
+    (Scene::evalTransmittance / sampleAttenuatedEmitterDirect,
+    scene.cpp:854-898): a sigma_a=1 slab between z=0.2 and z=0.8 gives
+    exactly exp(-0.6) for a perpendicular segment, and the walk must
+    occlude on opaque hits."""
+    import jax.numpy as jnp
+    from mitsuba_tpu.core.transform import Transform
+    from mitsuba_tpu.render import bsdf as B
+    from mitsuba_tpu.render import scene as scene_mod
+    from mitsuba_tpu.render import shapes as sh
+    from mitsuba_tpu.render.scene import SceneBuilder
+
+    b = SceneBuilder()
+    med = b.add_medium_homogeneous(sigma_s=(0, 0, 0), sigma_a=(1.0,) * 3)
+    lo_m = b.add_material(type=B.NULL, exterior_medium=med)
+    hi_m = b.add_material(type=B.NULL, interior_medium=med)
+    for z, mat in [(0.2, lo_m), (0.8, hi_m)]:
+        t = Transform.translate([0.5, 0.5, z]) * Transform.scale([5, 5, 1])
+        v, f, uv = sh.rectangle(t)
+        b.add_mesh(v, f, mat, uvs=uv)
+    # an opaque blocker off to the side
+    t = Transform.translate([3.0, 0.5, 0.5]) * Transform.scale([0.2, 0.2, 1])
+    v, f, uv = sh.rectangle(t)
+    b.add_mesh(v, f, b.add_material(), uvs=uv)
+    scene, static = b.build()
+    assert static.has_boundary_media
+
+    R = 8
+    pix = jnp.arange(R, dtype=jnp.int32)
+    o = jnp.tile(jnp.asarray([[0.5, 0.5, 0.0]]), (R, 1))
+    d = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (R, 1))
+    tr = np.asarray(scene_mod.attenuated_transmittance(
+        scene, static, o, d, jnp.full(R, 1.9), jnp.full(R, -1, jnp.int32),
+        0, pix, 0, 500))
+    assert np.allclose(tr, np.exp(-0.6), rtol=1e-5), tr[0]
+
+    # oblique segment: path length inside the slab scales with 1/cos
+    ct = 0.8
+    d2 = jnp.tile(jnp.asarray([[0.6, 0.0, ct]]), (R, 1))
+    tr2 = np.asarray(scene_mod.attenuated_transmittance(
+        scene, static, o, d2, jnp.full(R, 2.2), jnp.full(R, -1, jnp.int32),
+        0, pix, 0, 500))
+    assert np.allclose(tr2, np.exp(-0.6 / ct), rtol=1e-5), tr2[0]
+
+    # opaque hit -> full occlusion
+    o3 = jnp.tile(jnp.asarray([[3.0, 0.5, 0.0]]), (R, 1))
+    tr3 = np.asarray(scene_mod.attenuated_transmittance(
+        scene, static, o3, d, jnp.full(R, 1.9), jnp.full(R, -1, jnp.int32),
+        0, pix, 0, 500))
+    assert np.allclose(tr3, 0.0), tr3[0]

@@ -125,7 +125,8 @@ def test_sampler_types_render_agree(cornell, cornell_cam):
     gt = np.asarray(api.render(scene, static, sens, cfg, st_gt)).mean()
     means = {}
     for name, t in [("ld", api.LDSAMPLER), ("halton", api.HALTON),
-                    ("hammersley", api.HAMMERSLEY), ("faure", api.FAURE)]:
+                    ("hammersley", api.HAMMERSLEY), ("faure", api.FAURE),
+                    ("sobol", api.SOBOL)]:
         st = api.RenderSettings(width=16, height=16, spp=256, spp_per_pass=16,
                                 filter_type=0, sampler_type=t, seed=7)
         means[name] = np.asarray(api.render(scene, static, sens, cfg, st)).mean()
