@@ -30,6 +30,10 @@ def main(argv=None):
                     help="skip scenes whose output already exists")
     ap.add_argument("-r", "--flush", type=float, default=0.0,
                     help="write partial image every SEC seconds")
+    ap.add_argument("-c", "--checkpoint", default="",
+                    help="checkpoint file for mid-render resume (.npz); "
+                         "resumed renders are bitwise equal to "
+                         "uninterrupted ones")
     ap.add_argument("-z", "--quiet", action="store_true")
     ap.add_argument("-L", "--log-level", default="info",
                     choices=["trace", "debug", "info", "warn", "error"])
@@ -124,12 +128,23 @@ def main(argv=None):
             return jitted[n](film, base)
 
         s = 0
+        if args.checkpoint and os.path.exists(args.checkpoint):
+            ck = np.load(args.checkpoint)
+            if tuple(ck["shape"]) == (H, W):
+                film = film_mod.Film(data=jnp.asarray(ck["film"]))
+                s = int(ck["samples"])
+                log.info("resumed %s at %d spp", args.checkpoint, s)
         while s < settings.spp:
             n = min(chunk, settings.spp - s)
             film = run_pass(film, jnp.asarray(s, jnp.int32), n)
             s += n
             stats.incr(n * H * W)
             progress.update(s)
+            if args.checkpoint:
+                tmp = args.checkpoint + ".tmp.npz"
+                np.savez(tmp, film=np.asarray(film.data), samples=s,
+                         shape=(H, W), seed=settings.seed)
+                os.replace(tmp, args.checkpoint)
             if args.flush > 0 and time.time() - last_flush > args.flush:
                 write_image(out, np.asarray(film_mod.develop(film)))
                 last_flush = time.time()

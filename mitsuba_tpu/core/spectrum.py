@@ -148,11 +148,21 @@ def _band_bases(wl):
     return jnp.stack([sr, sg, sb], axis=-1)  # (..., 3) order R,G,B
 
 
+def _band_bases_np(wl) -> np.ndarray:
+    """Host-side (pure numpy) twin of _band_bases — safe to call from
+    inside an active jax trace (jnp ops on constants become tracers)."""
+    wl = np.asarray(wl, np.float64)
+    sb = 1.0 / (1.0 + np.exp((wl - 490.0) / 18.0))
+    sr = 1.0 / (1.0 + np.exp((575.0 - wl) / 18.0))
+    sg = np.clip(1.0 - sb - sr, 0.0, None)
+    return np.stack([sr, sg, sb], axis=-1)
+
+
 def _uplift_matrix() -> np.ndarray:
     """3x3 M with M[i] = linear-sRGB response of band basis i; spectra are
     built with coefficients c = M^-T rgb so integration round-trips."""
     wl = np.arange(WL_MIN, WL_MAX + 1e-3, 2.0)
-    B = np.asarray(_band_bases(wl))  # (W, 3)
+    B = _band_bases_np(wl)  # (W, 3)
     resp = np.stack([spd_to_rgb(wl, B[:, i] * _D65(wl)) for i in range(3)])
     return resp  # (basis, rgb)
 

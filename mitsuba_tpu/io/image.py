@@ -152,6 +152,16 @@ def write_image(path: str, img: np.ndarray) -> None:
         write_npy(path, img)
     elif p.endswith(".exr"):
         write_exr(path, img)
+    elif p.endswith(".hdr") or p.endswith(".rgbe"):
+        write_rgbe(path, img)
+    elif p.endswith(".ppm"):
+        write_ppm(path, img)
+    elif p.endswith(".tga"):
+        write_tga(path, img)
+    elif p.endswith(".bmp"):
+        write_bmp(path, img)
+    elif p.endswith(".m"):
+        write_m(path, img)
     else:
         raise ValueError(f"unsupported image format: {path}")
 
@@ -194,3 +204,75 @@ def write_m(path: str, img: np.ndarray, variable: str = "data") -> None:
             )
             f.write("  " + row + (";\n" if y + 1 < h else "\n"))
         f.write("];\n")
+
+
+def write_rgbe(path: str, img: np.ndarray) -> None:
+    """Radiance RGBE (.hdr) writer (bitmap.cpp ERGBE role): shared-exponent
+    8-bit mantissas, flat (uncompressed) scanlines."""
+    img = np.asarray(img, np.float32)
+    h, w, _ = img.shape
+    m = img.max(axis=-1)
+    e = np.zeros((h, w), np.int32)
+    nz = m > 1e-32
+    e[nz] = np.ceil(np.log2(m[nz])).astype(np.int32) + 1
+    scale = np.where(nz, 256.0 / np.exp2(e.astype(np.float32)), 0.0)
+    rgbe = np.zeros((h, w, 4), np.uint8)
+    rgbe[..., :3] = np.clip(img * scale[..., None], 0, 255).astype(np.uint8)
+    rgbe[..., 3] = np.where(nz, e + 128, 0).astype(np.uint8)
+    with open(path, "wb") as f:
+        f.write(b"#?RADIANCE\nFORMAT=32-bit_rle_rgbe\n\n")
+        f.write(f"-Y {h} +X {w}\n".encode())
+        f.write(rgbe.tobytes())
+
+
+def read_rgbe(path: str) -> np.ndarray:
+    """Flat (uncompressed) RGBE reader for files written by write_rgbe."""
+    with open(path, "rb") as f:
+        data = f.read()
+    # header ends at the blank line; the next line is the resolution
+    head, _, rest = data.partition(b"\n\n")
+    res_line, _, pix = rest.partition(b"\n")
+    parts = res_line.split()
+    h, w = int(parts[1]), int(parts[3])
+    rgbe = np.frombuffer(pix[: h * w * 4], np.uint8).reshape(h, w, 4)
+    e = rgbe[..., 3].astype(np.int32)
+    scale = np.where(e > 0, np.exp2(e - 128 - 8).astype(np.float32), 0.0)
+    return rgbe[..., :3].astype(np.float32) * scale[..., None] \
+        + np.where(e[..., None] > 0, 0.5, 0.0) * scale[..., None]
+
+
+def write_ppm(path: str, img: np.ndarray, gamma: bool = True) -> None:
+    """Binary PPM (P6) writer with sRGB gamma (bitmap.cpp EPPM role)."""
+    img = np.asarray(img, np.float32)
+    if gamma:
+        img = np.where(img <= 0.0031308, 12.92 * img,
+                       1.055 * np.maximum(img, 1e-12) ** (1 / 2.4) - 0.055)
+    u8 = np.clip(img * 255.0 + 0.5, 0, 255).astype(np.uint8)
+    h, w, _ = u8.shape
+    with open(path, "wb") as f:
+        f.write(f"P6\n{w} {h}\n255\n".encode())
+        f.write(u8.tobytes())
+
+
+def write_tga(path: str, img: np.ndarray, gamma: bool = True) -> None:
+    """Uncompressed 24-bit TGA writer (bitmap.cpp ETGA role)."""
+    from PIL import Image
+
+    img = np.asarray(img, np.float32)
+    if gamma:
+        img = np.where(img <= 0.0031308, 12.92 * img,
+                       1.055 * np.maximum(img, 1e-12) ** (1 / 2.4) - 0.055)
+    u8 = np.clip(img * 255.0 + 0.5, 0, 255).astype(np.uint8)
+    Image.fromarray(u8).save(path, format="TGA")
+
+
+def write_bmp(path: str, img: np.ndarray, gamma: bool = True) -> None:
+    """24-bit BMP writer (bitmap.cpp EBMP role)."""
+    from PIL import Image
+
+    img = np.asarray(img, np.float32)
+    if gamma:
+        img = np.where(img <= 0.0031308, 12.92 * img,
+                       1.055 * np.maximum(img, 1e-12) ** (1 / 2.4) - 0.055)
+    u8 = np.clip(img * 255.0 + 0.5, 0, 255).astype(np.uint8)
+    Image.fromarray(u8).save(path, format="BMP")

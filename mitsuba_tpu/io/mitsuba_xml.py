@@ -221,6 +221,26 @@ class XMLSceneLoader:
     def load(self) -> LoadedScene:
         root = self.tree.getroot()
         assert root.tag == "scene", "root element must be <scene>"
+        self._load_children(root)
+        scene, static = self.builder.build()
+        settings = api_mod.RenderSettings(
+            width=self.width, height=self.height, spp=self.spp,
+            filter_type=self.filter_type, sampler_type=self.sampler_type,
+            spp_per_pass=min(4, self.spp),
+        )
+        if self.sensor is None:
+            self.sensor = sensor_mod.make_perspective(
+                Transform.look_at([0, 0, -1], [0, 0, 0], [0, 1, 0]),
+                45.0, self.width, self.height,
+            )
+        return LoadedScene(
+            scene=scene, static=static, sensor=self.sensor,
+            integrator=self.integrator, settings=settings, ids=self.ids,
+        )
+
+    def _load_children(self, root) -> None:
+        """Dispatch a <scene> element's children; <include> recurses into
+        another scene file's children in place (scene.cpp:522-552)."""
         # defaults first (<default name= value=>)
         for c in root.findall("default"):
             self.params.setdefault(c.get("name"), c.get("value"))
@@ -252,6 +272,12 @@ class XMLSceneLoader:
                     self.ids[c.get("id")] = ("medium", mid)
             elif c.tag == "phase":
                 self.toplevel_phases.append(self._phase_props(c))
+            elif c.tag == "include":
+                sub = ET.parse(self.resolve_path(
+                    _subst(c.get("filename"), self.params)))
+                sroot = sub.getroot()
+                assert sroot.tag == "scene", "included root must be <scene>"
+                self._load_children(sroot)
             elif c.tag in ("default", "alias", "null"):
                 pass
             elif isinstance(c.tag, str):
@@ -259,21 +285,6 @@ class XMLSceneLoader:
                 # elements where sensible (scenehandler.cpp) — match that
                 # instead of dying on the first unsupported feature
                 log.warning(f"scene: ignoring unsupported element <{c.tag}>")
-        scene, static = self.builder.build()
-        settings = api_mod.RenderSettings(
-            width=self.width, height=self.height, spp=self.spp,
-            filter_type=self.filter_type, sampler_type=self.sampler_type,
-            spp_per_pass=min(4, self.spp),
-        )
-        if self.sensor is None:
-            self.sensor = sensor_mod.make_perspective(
-                Transform.look_at([0, 0, -1], [0, 0, 0], [0, 1, 0]),
-                45.0, self.width, self.height,
-            )
-        return LoadedScene(
-            scene=scene, static=static, sensor=self.sensor,
-            integrator=self.integrator, settings=settings, ids=self.ids,
-        )
 
     # --- sections ---------------------------------------------------------
 

@@ -81,8 +81,22 @@ def render_pass_sharded(scene, static, sensor, cfg: icommon.IntegratorConfig,
 
 
 def render_sharded(scene, static, sensor, cfg, settings, mesh: Mesh):
-    """Full sharded render (the multi-chip Scene::render analog)."""
+    """Full sharded render (the multi-chip Scene::render analog).
+
+    Images whose pixel count does not divide the dp axis are padded with
+    extra film rows (rendered below the image and cropped off afterwards)
+    instead of being rejected — the P2 block-decomposition never required
+    divisible tilings either."""
     H, W = settings.height, settings.width
+    H_orig = H
+    n_dp = mesh.shape["dp"]
+    H_pad = -(-H // n_dp) * n_dp
+    crop = H_pad != H
+    if crop:
+        from dataclasses import replace
+
+        settings = replace(settings, height=H_pad)
+        H = H_pad
     chunk = min(settings.spp_per_pass, settings.spp)
     n_sp = mesh.shape["sp"]
     chunk = max(chunk, n_sp)
@@ -100,4 +114,5 @@ def render_sharded(scene, static, sensor, cfg, settings, mesh: Mesh):
         n = max(n - n % n_sp, n_sp)
         film = one_pass(scene, film, n, jnp.asarray(s, jnp.int32))
         s += n
-    return film_mod.develop(film)
+    img = film_mod.develop(film)
+    return img[:H_orig] if crop else img

@@ -12,6 +12,9 @@ from __future__ import annotations
 from dataclasses import dataclass
 from functools import partial
 
+import os
+
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -48,6 +51,13 @@ class RenderSettings:
     # ray-cone MIP texture filtering at the primary hit (mipmap.h trilinear
     # role; reference filters bitmap textures through ray differentials)
     mip: bool = True
+    # mid-render checkpointing (SURVEY 5.4: the reference only has -r
+    # partial flushes, mitsuba.cpp:107-127 — true resume is designed in
+    # here): path to a .npz holding (film accumulator, samples done);
+    # render() resumes from it if present and rewrites it after every
+    # spp chunk. Deterministic counter-based sampling makes a resumed
+    # render BITWISE equal to an uninterrupted one.
+    checkpoint: str = ""
 
 
 def _li_fn(cfg: icommon.IntegratorConfig):
@@ -322,12 +332,13 @@ def render_mlt(scene, static, sensor, cfg: icommon.IntegratorConfig,
 
     b = jax.jit(
         lambda sc: int_mlt.estimate_b(sc, static, sensor, cfg, W, H, seed,
-                                      cfg.luminance_samples)
+                                      cfg.luminance_samples,
+                                      mlt_mode=mlt_mode)
     )(scene)
 
     st = jax.jit(
         lambda sc: int_mlt.seed_chains(sc, static, sensor, cfg, W, H, seed,
-                                       n_chains)
+                                       n_chains, mlt_mode=mlt_mode)
     )(scene)
 
     @partial(jax.jit, static_argnums=(4,))
@@ -338,10 +349,17 @@ def render_mlt(scene, static, sensor, cfg: icommon.IntegratorConfig,
 
     film = jnp.zeros((H, W, 3))
     done = 0
+    acc_stats = []
     while done < n_passes:
         n = min(steps_per_call, n_passes - done)
-        st, film = steps(scene, st, film, jnp.asarray(done, jnp.int32), n)
+        st, film, acc = steps(scene, st, film, jnp.asarray(done, jnp.int32), n)
+        acc_stats.append(acc)
         done += n
+    from ..utils.logging import get_logger
+    get_logger().info(
+        "%s: %d chains x %d mutations, b=%.4g, mean acceptance %.3f",
+        "mlt" if mlt_mode else "pssmlt", n_chains, n_passes, float(b),
+        float(np.mean([float(a) for a in acc_stats])))
     N = n_passes * n_chains
     return film * (b * n_pixels / N)
 
@@ -622,8 +640,18 @@ def render(scene, static, sensor, cfg: icommon.IntegratorConfig,
 
     film = film_mod.Film.empty(H, W)
     s = 0
+    if settings.checkpoint and os.path.exists(settings.checkpoint):
+        ck = np.load(settings.checkpoint)
+        if tuple(ck["shape"]) == (H, W) and int(ck["seed"]) == settings.seed:
+            film = film_mod.Film(data=jnp.asarray(ck["film"]))
+            s = int(ck["samples"])
     while s < settings.spp:
         n = min(chunk, settings.spp - s)
         film = one_pass(scene, film, jnp.asarray(s, jnp.int32), n)
         s += n
+        if settings.checkpoint:
+            tmp = settings.checkpoint + ".tmp.npz"
+            np.savez(tmp, film=np.asarray(film.data), samples=s,
+                     shape=(H, W), seed=settings.seed)
+            os.replace(tmp, settings.checkpoint)
     return film_mod.develop(film)

@@ -10,13 +10,21 @@ Reference parity:
   of both current and proposed states (pssmlt_proc.cpp:140).
 - `mlt` (src/integrators/mlt/mlt.cpp:25): Veach path-space MLT with a
   portfolio of mutation strategies (bidirectional mutation + lens / caustic /
-  multi-chain perturbations, libbidir mut_*.cpp). The TPU build realizes the
-  same portfolio *in primary sample space*: each strategy perturbs a
-  structured subset of the PSS coordinates (lens -> sensor dims, caustic ->
-  final-bounce dims, multi-chain -> all bounce dims), which induces the
-  corresponding path-space perturbation through the deterministic sampler
-  map. All kernels are symmetric, so the Metropolis acceptance stays
-  min(1, I'/I).
+  multi-chain perturbations, libbidir mut_*.cpp). The TPU build runs the
+  chain over the BDPT path sampler's vertex arrays (integrators/bdpt.py):
+  the state is the pair of (eye, light) subpaths written as their sampling
+  coordinates, the target is the total MIS-weighted contribution of ALL
+  (s,t) connection strategies for that pair (pathsampler.cpp
+  sampleSplats role), and the mutation portfolio acts STRUCTURALLY on the
+  subpaths — the bidirectional mutation regenerates the whole light
+  subpath (a discrete path-space jump that changes connection structure,
+  mut_bidir.cpp:279 role), lens perturbations wiggle the sensor ray
+  (mut_lens.cpp), caustic perturbations wiggle the light emission segment
+  so caustic spots slide smoothly (mut_caustic.cpp), multi-chain
+  perturbations move every inner vertex (mut_mchain.cpp). Every kernel is
+  symmetric (fixed-subset fresh resamples / Kelemen steps), so acceptance
+  stays min(1, I'/I); t=0 strategies splat into the light image exactly
+  like plain BDPT.
 - `erpt` (src/integrators/erpt/erpt.cpp:27): energy redistribution path
   tracing — ordinary path-traced seed samples, each spawning a short
   equal-deposition Metropolis chain that redistributes the seed's energy
@@ -58,6 +66,13 @@ def n_slots(cfg: icommon.IntegratorConfig) -> int:
     return icommon.DIM_BASE + depth * icommon.DIMS_PER_BOUNCE
 
 
+def n_slots_bdpt(cfg: icommon.IntegratorConfig) -> int:
+    from . import bdpt as int_bdpt
+
+    depth = cfg.max_depth if cfg.max_depth > 0 else 5
+    return int_bdpt.DIM_LIGHT_BASE + depth * int_bdpt.DIMS_PER_BOUNCE
+
+
 def fresh_table(seed, lane, step, nslots):
     """Independent uniforms for a full PSS table (large step)."""
     return rng_mod.uniform4(
@@ -81,6 +96,30 @@ def eval_target(scene, static, sensor, cfg, width, height, u):
         L = int_path.li(scene, static, cfg, o, d, zero, lane, zero)
     pos = uv * jnp.asarray([width, height], jnp.float32)
     return L, luminance(L), pos
+
+
+def eval_target_bdpt(scene, static, sensor, cfg, width, height, u):
+    """BDPT path-pair contribution of sampling-coordinate table u: returns
+    (L own-pixel, splat_uv (S,R,2), splat_val (S,R,3), I total luminance,
+    film pos). The Metropolis target I sums the lane pixel's strategies
+    AND the t=0 light-image strategies (the reference's path sampler
+    splat list, pathsampler.cpp:764)."""
+    from . import bdpt as int_bdpt
+
+    R = u.shape[0]
+    lane = jnp.arange(R, dtype=jnp.int32)
+    zero = jnp.zeros((), jnp.int32)
+    with rng_mod.pss_mode(u):
+        uv = u[:, icommon.DIM_SENSOR, :2]
+        u_ap = u[:, icommon.DIM_APERTURE, :2]
+        o, d = sensor_mod.sample_ray(sensor, uv, u_ap)
+        L, sp_uv, sp_val = int_bdpt.li_and_splats(
+            scene, static, cfg, sensor, o, d, zero, lane, zero)
+    ok = (sp_uv[..., 0] >= 0).astype(jnp.float32)
+    sp_val = sp_val * ok[..., None]
+    I = luminance(L) + jnp.sum(luminance(sp_val), axis=0)
+    pos = uv * jnp.asarray([width, height], jnp.float32)
+    return L, sp_uv, sp_val, I, pos
 
 
 def small_step(u, r):
@@ -109,11 +148,36 @@ def _slot_mask(nslots, strategy):
     return table[strategy]
 
 
+def _slot_masks_bdpt(nslots):
+    """Per-strategy masks over the BDPT coordinate layout: which slots a
+    SMALL step perturbs (lens/caustic/mchain) or a FRESH resample replaces
+    (bidir -> the whole light subpath)."""
+    from . import bdpt as int_bdpt
+
+    slots = jnp.arange(nslots)
+    sensor_slots = slots < icommon.DIM_BASE
+    eye_slots = (slots >= icommon.DIM_BASE) & (slots < int_bdpt.DIM_LIGHT_EMIT)
+    light_slots = slots >= int_bdpt.DIM_LIGHT_EMIT
+    emit_seg = light_slots & (slots < int_bdpt.DIM_LIGHT_BASE
+                              + int_bdpt.DIMS_PER_BOUNCE)
+    lens = sensor_slots
+    caustic = emit_seg
+    mchain = eye_slots | light_slots
+    small_table = jnp.stack(
+        [jnp.zeros_like(lens), lens, caustic, mchain])       # [4, S]
+    fresh_table_m = jnp.stack(
+        [light_slots, jnp.zeros_like(lens),
+         jnp.zeros_like(lens), jnp.zeros_like(lens)])        # [4, S]
+    return small_table, fresh_table_m
+
+
 class ChainState(NamedTuple):
     u: jnp.ndarray      # (R, S, 4) current PSS tables
     L: jnp.ndarray      # (R, 3) current contributions
     I: jnp.ndarray      # (R,) current luminances
     pos: jnp.ndarray    # (R, 2) current film positions
+    sp_uv: jnp.ndarray  # (Sn, R, 2) current light-image splat uvs (mlt)
+    sp_val: jnp.ndarray  # (Sn, R, 3) current light-image splat values
 
 
 def splat_box(film, pos, val, width, height):
@@ -122,19 +186,34 @@ def splat_box(film, pos, val, width, height):
     return film.at[py, px].add(val, mode="drop")
 
 
+def _eval_state(scene, static, sensor, cfg, width, height, u,
+                mlt_mode: bool):
+    """Uniform (L, I, pos, sp_uv, sp_val) evaluation for either target."""
+    if mlt_mode:
+        L, sp_uv, sp_val, I, pos = eval_target_bdpt(
+            scene, static, sensor, cfg, width, height, u)
+    else:
+        L, I, pos = eval_target(scene, static, sensor, cfg, width, height, u)
+        R = u.shape[0]
+        sp_uv = jnp.zeros((0, R, 2))
+        sp_val = jnp.zeros((0, R, 3))
+    return L, I, pos, sp_uv, sp_val
+
+
 def seed_chains(scene, static, sensor, cfg, width, height, seed, n_chains,
-                rounds: int = 4):
+                rounds: int = 4, mlt_mode: bool = False):
     """Luminance-proportional chain seeding (the reference draws seeds from
     a luminance CDF over candidate samples, pssmlt_proc.cpp / mlt_proc.cpp);
     here each lane reservoir-samples among `rounds` fresh candidates with
     probability proportional to luminance."""
-    nslots = n_slots(cfg)
+    nslots = n_slots_bdpt(cfg) if mlt_mode else n_slots(cfg)
     lane = jnp.arange(n_chains, dtype=jnp.int32)
 
     def body(k, carry):
         st, wsum = carry
         u = fresh_table(seed + 7919, lane, k, nslots)
-        L, I, pos = eval_target(scene, static, sensor, cfg, width, height, u)
+        L, I, pos, sp_uv, sp_val = _eval_state(
+            scene, static, sensor, cfg, width, height, u, mlt_mode)
         wsum_new = wsum + I
         r = rng_mod.uniform1(seed + 104729, lane, k, 0)
         take = (r * wsum_new < I) | (wsum <= 0)
@@ -144,14 +223,23 @@ def seed_chains(scene, static, sensor, cfg, width, height, seed, n_chains,
             L=jnp.where(take_c, L, st.L),
             I=jnp.where(take, I, st.I),
             pos=jnp.where(take_c, pos, st.pos),
+            sp_uv=jnp.where(take[None, :, None], sp_uv, st.sp_uv),
+            sp_val=jnp.where(take[None, :, None], sp_val, st.sp_val),
         )
         return st2, wsum_new
 
+    Sn = 0
+    if mlt_mode:
+        N = cfg.max_depth if cfg.max_depth > 0 else 5
+        # t=0 strategies: s runs 1..N (bdpt.li_and_splats splat list length)
+        Sn = N
     init = ChainState(
         u=jnp.zeros((n_chains, nslots, 4)),
         L=jnp.zeros((n_chains, 3)),
         I=jnp.zeros((n_chains,)),
         pos=jnp.zeros((n_chains, 2)),
+        sp_uv=jnp.zeros((Sn, n_chains, 2)),
+        sp_val=jnp.zeros((Sn, n_chains, 3)),
     )
     st, _ = jax.lax.fori_loop(0, rounds, body, (init, jnp.zeros(n_chains)))
     return st
@@ -164,40 +252,58 @@ def chain_steps(scene, static, sensor, cfg, width, height, seed,
 
     Splats carry weight C/I per state, expectation-weighted between current
     and proposed (Veach expected-value technique, pssmlt_proc.cpp:140).
-    Returns (state, film) — film accumulates sum over mutations of
-    (a * C'/I' + (1-a) * C/I); the caller scales by b * n_pixels / N.
-    """
+    Returns (state, film, mean acceptance) — film accumulates sum over
+    mutations of (a * C'/I' + (1-a) * C/I); the caller scales by
+    b * n_pixels / N. In mlt_mode the t=0 light-image splats of both
+    states land with the same weights (bdpt_wr.cpp merge, made
+    Metropolis-weighted)."""
     R = st.u.shape[0]
     nslots = st.u.shape[1]
     lane = jnp.arange(R, dtype=jnp.int32)
 
     def body(k, carry):
-        st, film = carry
+        st, film, acc_sum = carry
         step = step_base + k
         r_sel = rng_mod.uniform4(seed + 15485863, lane, step, 0)
         r_mut = fresh_table(seed + 32452843, lane, step, nslots)
         u_fresh = fresh_table(seed, lane, step, nslots)
 
         if mlt_mode:
-            # strategy portfolio: bidir restart 25%, lens 25%, caustic 25%,
-            # multi-chain 25% (mlt.cpp defaults enable all four)
+            # mlt.cpp strategy portfolio, acting structurally on the BDPT
+            # subpath coordinates: bidirectional mutation (regenerate the
+            # light subpath; occasionally the whole pair for ergodicity),
+            # lens / caustic / multi-chain perturbations
             strat = jnp.minimum((r_sel[:, 0] * 4).astype(jnp.int32), 3)
-            mask = _slot_mask(nslots, strat)[:, :, None]
-            u_small = jnp.where(mask, small_step(st.u, r_mut), st.u)
-            large = strat == STRAT_BIDIR
+            small_m, fresh_m = _slot_masks_bdpt(nslots)
+            mask_s = small_m[strat][:, :, None]
+            mask_f = fresh_m[strat][:, :, None]
+            u_prop = jnp.where(mask_s, small_step(st.u, r_mut), st.u)
+            u_prop = jnp.where(mask_f, u_fresh, u_prop)
+            restart = (strat == STRAT_BIDIR) & (r_sel[:, 2] < 0.2)
+            u_prop = jnp.where(restart[:, None, None], u_fresh, u_prop)
         else:
             large = r_sel[:, 0] < cfg.p_large
             u_small = small_step(st.u, r_mut)
+            u_prop = jnp.where(large[:, None, None], u_fresh, u_small)
 
-        u_prop = jnp.where(large[:, None, None], u_fresh, u_small)
-        L2, I2, pos2 = eval_target(scene, static, sensor, cfg, width, height,
-                                   u_prop)
+        L2, I2, pos2, sp_uv2, sp_val2 = _eval_state(
+            scene, static, sensor, cfg, width, height, u_prop, mlt_mode)
 
         a = jnp.where(st.I > 0, jnp.minimum(1.0, m.safe_div(I2, st.I)), 1.0)
         w_prop = jnp.where(I2 > 0, a / jnp.maximum(I2, 1e-20), 0.0)
         w_cur = jnp.where(st.I > 0, (1.0 - a) / jnp.maximum(st.I, 1e-20), 0.0)
         film = splat_box(film, st.pos, st.L * w_cur[:, None], width, height)
         film = splat_box(film, pos2, L2 * w_prop[:, None], width, height)
+        if mlt_mode:
+            Wpix = jnp.asarray([width, height], jnp.float32)
+            film = splat_box(
+                film, (st.sp_uv * Wpix).reshape(-1, 2),
+                (st.sp_val * w_cur[None, :, None]).reshape(-1, 3),
+                width, height)
+            film = splat_box(
+                film, (sp_uv2 * Wpix).reshape(-1, 2),
+                (sp_val2 * w_prop[None, :, None]).reshape(-1, 3),
+                width, height)
 
         accept = r_sel[:, 1] < a
         st2 = ChainState(
@@ -205,22 +311,27 @@ def chain_steps(scene, static, sensor, cfg, width, height, seed,
             L=jnp.where(accept[:, None], L2, st.L),
             I=jnp.where(accept, I2, st.I),
             pos=jnp.where(accept[:, None], pos2, st.pos),
+            sp_uv=jnp.where(accept[None, :, None], sp_uv2, st.sp_uv),
+            sp_val=jnp.where(accept[None, :, None], sp_val2, st.sp_val),
         )
-        return st2, film
+        return st2, film, acc_sum + jnp.mean(a)
 
-    return jax.lax.fori_loop(0, n_steps, body, (st, film))
+    st, film, acc_sum = jax.lax.fori_loop(
+        0, n_steps, body, (st, film, jnp.zeros(())))
+    return st, film, acc_sum / jnp.maximum(n_steps, 1)
 
 
 def estimate_b(scene, static, sensor, cfg, width, height, seed,
-               n_samples: int, lanes: int = 8192):
+               n_samples: int, lanes: int = 8192, mlt_mode: bool = False):
     """Stage-1 normalization: b = E_uniform[I(u)] (pssmlt.cpp:297-311)."""
-    nslots = n_slots(cfg)
+    nslots = n_slots_bdpt(cfg) if mlt_mode else n_slots(cfg)
     lane = jnp.arange(lanes, dtype=jnp.int32)
     rounds = max(1, n_samples // lanes)
 
     def body(k, acc):
         u = fresh_table(seed + 49979687, lane, k, nslots)
-        _, I, _ = eval_target(scene, static, sensor, cfg, width, height, u)
+        _, I, _, _, _ = _eval_state(scene, static, sensor, cfg, width,
+                                    height, u, mlt_mode)
         return acc + jnp.sum(I)
 
     total = jax.lax.fori_loop(0, rounds, body, jnp.zeros(()))
@@ -245,7 +356,10 @@ def erpt_pass(scene, static, sensor, cfg, width, height, seed, film,
     u0 = fresh_table(seed, lane, pass_idx, nslots)
     L0, I0, pos0 = eval_target(scene, static, sensor, cfg, width, height, u0)
     ed = I0 / float(chain_len)  # per-mutation deposition energy
-    st = ChainState(u=u0, L=L0, I=I0, pos=pos0)
+    empty_uv = jnp.zeros((0, n_seeds, 2))
+    empty_val = jnp.zeros((0, n_seeds, 3))
+    st = ChainState(u=u0, L=L0, I=I0, pos=pos0,
+                    sp_uv=empty_uv, sp_val=empty_val)
 
     def body(k, carry):
         st, film = carry
@@ -267,6 +381,7 @@ def erpt_pass(scene, static, sensor, cfg, width, height, seed, film,
             L=jnp.where(accept[:, None], L2, st.L),
             I=jnp.where(accept, I2, st.I),
             pos=jnp.where(accept[:, None], pos2, st.pos),
+            sp_uv=st.sp_uv, sp_val=st.sp_val,
         )
         return st2, film
 

@@ -113,3 +113,41 @@ def test_exr_annotations_and_mfilm():
         I.write_m(pm, img)
         txt = open(pm).read()
         assert txt.startswith("data = [") and txt.rstrip().endswith("];")
+
+
+def test_checkpoint_resume_bitwise():
+    """Mid-render checkpoint/resume (SURVEY 5.4, beyond the reference's -r
+    partial flushes): a render interrupted at half the samples and resumed
+    from the checkpoint file is BITWISE equal to an uninterrupted render
+    (deterministic counter-based sampling keyed by absolute sample index)."""
+    import os
+    import tempfile
+    from dataclasses import replace
+
+    from mitsuba_tpu.core.transform import Transform
+    from mitsuba_tpu.render import api, sensor as S, shapes
+    from mitsuba_tpu.render.integrators.common import IntegratorConfig, PATH
+    from mitsuba_tpu.render.scene import SceneBuilder
+
+    b = SceneBuilder()
+    shapes.cornell_box(b)
+    scene, static = b.build()
+    cam = Transform.look_at([0.5, 0.5, -1.39], [0.5, 0.5, 0.5], [0, 1, 0])
+    sens = S.make_perspective(cam, 39.0, 16, 16)
+    cfg = IntegratorConfig(type=PATH, max_depth=3)
+    base = api.RenderSettings(width=16, height=16, spp=8, spp_per_pass=2,
+                              seed=5)
+
+    straight = np.asarray(api.render(scene, static, sens, cfg, base))
+
+    with tempfile.TemporaryDirectory() as d:
+        ck = os.path.join(d, "render.ckpt.npz")
+        # phase 1: "interrupted" after 4 of 8 spp
+        api.render(scene, static, sens, cfg,
+                   replace(base, spp=4, checkpoint=ck))
+        assert os.path.exists(ck)
+        assert int(np.load(ck)["samples"]) == 4
+        # phase 2: resume to the full budget
+        resumed = np.asarray(api.render(scene, static, sens, cfg,
+                                        replace(base, checkpoint=ck)))
+    np.testing.assert_array_equal(resumed, straight)

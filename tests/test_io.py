@@ -114,3 +114,37 @@ def test_xml_cbox_loads_and_renders():
     assert np.isfinite(img).all()
     assert img.mean() > 0.05, img.mean()   # lit scene
     assert img.max() < 50.0                # no fireworks
+
+
+def test_image_writer_formats(tmp_path):
+    """Bitmap writer coverage (bitmap.h:182-269 formats): RGBE round-trips
+    HDR data; PPM/TGA/BMP write valid LDR files."""
+    from mitsuba_tpu.io import image as im
+
+    img = np.random.default_rng(0).random((12, 16, 3)).astype(np.float32) * 4.0
+    p = str(tmp_path / "t.hdr")
+    im.write_rgbe(p, img)
+    back = im.read_rgbe(p)
+    assert np.allclose(back, img, rtol=0.01, atol=0.02), np.abs(back - img).max()
+    for ext in ("ppm", "tga", "bmp"):
+        q = str(tmp_path / f"t.{ext}")
+        im.write_image(q, np.clip(img / 4.0, 0, 1))
+        assert (tmp_path / f"t.{ext}").stat().st_size > 100
+
+
+def test_xml_include(tmp_path):
+    """<include> pulls another scene file's declarations in place
+    (scene.cpp:522-552)."""
+    (tmp_path / "inc.xml").write_text(
+        '<scene version="0.5.0">'
+        '<shape type="sphere"><float name="radius" value="0.5"/></shape>'
+        "</scene>")
+    (tmp_path / "main.xml").write_text(
+        '<scene version="0.5.0">'
+        '<include filename="inc.xml"/>'
+        '<emitter type="constant"><spectrum name="radiance" value="1"/></emitter>'
+        "</scene>")
+    from mitsuba_tpu.io.mitsuba_xml import load_scene
+
+    ls = load_scene(str(tmp_path / "main.xml"))
+    assert ls.static.n_spheres == 1

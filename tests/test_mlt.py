@@ -87,3 +87,54 @@ def test_erpt_matches_path():
     assert np.isfinite(img).all()
     rel = abs(img.mean() - ref.mean()) / ref.mean()
     assert rel < 0.08, f"erpt off by {rel:.4f}"
+
+
+@pytest.mark.slow
+def test_mlt_beats_pssmlt_on_caustic():
+    """Path-space mlt (BDPT target + structural subpath mutations,
+    mut_bidir.cpp role) must reach lower error than pssmlt at an equal
+    mutation budget on a caustic-dominated scene: a glass sphere focusing
+    a small area light onto a diffuse floor (VERDICT r1 item 9)."""
+    from mitsuba_tpu.core.transform import Transform
+    from mitsuba_tpu.render import api, bsdf as B, sensor as S, shapes as sh
+    from mitsuba_tpu.render.scene import SceneBuilder
+    from mitsuba_tpu.render.integrators.common import (
+        IntegratorConfig, MLT, PSSMLT, BDPT)
+
+    b = SceneBuilder()
+    glass = b.add_material(type=B.DIELECTRIC, eta=1.5)
+    b.add_sphere((0.0, 0.5, 0.0), 0.25, glass)
+    v, f, uv = sh.rectangle(
+        Transform.translate([0, 0, 0]) * Transform.rotate([1, 0, 0], -90.0)
+        * Transform.scale([2, 2, 1]))
+    b.add_mesh(v, f, b.add_material(albedo=(0.7, 0.7, 0.7)), uvs=uv)
+    # small bright light above the sphere
+    v, f, uv = sh.rectangle(
+        Transform.translate([0, 1.6, 0]) * Transform.rotate([1, 0, 0], 90.0)
+        * Transform.scale([0.05, 0.05, 1]))
+    b.add_mesh(v, f, b.add_material(albedo=(0, 0, 0)),
+               emitter_radiance=(400.0,) * 3, uvs=uv)
+    scene, static = b.build()
+    cam = Transform.look_at([0.0, 1.0, -1.6], [0.0, 0.25, 0.0], [0, 1, 0])
+    W = H = 32
+    sens = S.make_perspective(cam, 40.0, W, H)
+
+    ref = np.asarray(api.render(
+        scene, static, sens, IntegratorConfig(type=BDPT, max_depth=5),
+        api.RenderSettings(width=W, height=H, spp=256, spp_per_pass=4,
+                           seed=3)))
+
+    def err(itype, seed):
+        img = np.asarray(api.render(
+            scene, static, sens,
+            IntegratorConfig(type=itype, max_depth=5, chain_count=4096,
+                             luminance_samples=8192),
+            api.RenderSettings(width=W, height=H, spp=24, seed=seed)))
+        # relative error on the caustic region (bright floor pixels)
+        mask = ref.mean(-1) > np.percentile(ref.mean(-1), 80)
+        return float(np.abs(img - ref).mean(-1)[mask].mean()
+                     / (ref.mean(-1)[mask].mean() + 1e-9))
+
+    e_mlt = np.mean([err(MLT, s) for s in (11, 12)])
+    e_pss = np.mean([err(PSSMLT, s) for s in (11, 12)])
+    assert e_mlt < e_pss, (e_mlt, e_pss)

@@ -167,8 +167,13 @@ def test_bsdf_roster_chi2_subset():
             wi = jnp.broadcast_to(wi1, (n, 3))
             return B.pdf(bl, wi, d, active_types=types)
 
+        # sub=24: the transmitted lobe of roughdielectric at alpha 0.3 is
+        # sharp enough that the default midpoint subgrid under-integrates
+        # cells (verified: sampler and pdf agree pointwise to 1e-7; finer
+        # integration makes the test pass at p=0.14)
         ok, pval, stat, dof, info = chi2_test(
-            sample_fn, pdf_fn, n_samples=400_000, significance=0.0005)
+            sample_fn, pdf_fn, n_samples=400_000, significance=0.0005,
+            sub=24)
         assert ok, f"bsdf type {t}: {info}"
     assert len(tested) >= 5
 

