@@ -26,7 +26,7 @@ _tried = False
 
 def _compile() -> bool:
     cmd = [
-        "g++", "-O3", "-march=native", "-std=c++17", "-fPIC", "-shared",
+        "g++", "-O3", "-march=native", "-std=c++17", "-fPIC", "-shared", "-pthread",
         *_SOURCES, "-o", _LIB_PATH,
     ]
     try:

@@ -15,6 +15,8 @@
 #include <limits>
 #include <thread>
 #include <vector>
+#include <functional>
+#include <cstdlib>
 
 namespace {
 
@@ -35,32 +37,24 @@ struct Builder {
     std::vector<int32_t> order;
     int leaf_size;
 
-    int32_t build(std::vector<int32_t>& idx) {
-        int32_t me = (int32_t)nodes.size();
-        nodes.emplace_back();
-        {
-            BuildNode& n = nodes.back();
+    void node_bounds(const std::vector<int32_t>& idx, BuildNode& n) const {
+        for (int c = 0; c < 3; ++c) {
+            n.lo[c] = std::numeric_limits<float>::infinity();
+            n.hi[c] = -std::numeric_limits<float>::infinity();
+        }
+        for (int32_t i : idx) {
             for (int c = 0; c < 3; ++c) {
-                n.lo[c] = std::numeric_limits<float>::infinity();
-                n.hi[c] = -std::numeric_limits<float>::infinity();
-            }
-            for (int32_t i : idx) {
-                for (int c = 0; c < 3; ++c) {
-                    n.lo[c] = std::min(n.lo[c], prim_lo[3 * i + c]);
-                    n.hi[c] = std::max(n.hi[c], prim_hi[3 * i + c]);
-                }
+                n.lo[c] = std::min(n.lo[c], prim_lo[3 * i + c]);
+                n.hi[c] = std::max(n.hi[c], prim_hi[3 * i + c]);
             }
         }
-        const size_t cnt = idx.size();
-        if ((int)cnt <= leaf_size) {
-            BuildNode& n = nodes[me];
-            n.first = (int32_t)order.size();
-            n.count = (int32_t)cnt;
-            order.insert(order.end(), idx.begin(), idx.end());
-            return me;
-        }
+    }
 
-        // centroid bounds
+    // SAH binned split of idx into (left_idx, right_idx); median fallback.
+    void partition(const std::vector<int32_t>& idx,
+                   std::vector<int32_t>& left_idx,
+                   std::vector<int32_t>& right_idx) const {
+        const size_t cnt = idx.size();
         float clo[3], chi[3];
         for (int c = 0; c < 3; ++c) {
             clo[c] = std::numeric_limits<float>::infinity();
@@ -145,7 +139,6 @@ struct Builder {
             }
         }
 
-        std::vector<int32_t> left_idx, right_idx;
         left_idx.reserve(cnt / 2);
         right_idx.reserve(cnt / 2);
         if (best_axis < 0) {
@@ -167,6 +160,23 @@ struct Builder {
                 right_idx.assign(idx.begin() + cnt / 2, idx.end());
             }
         }
+    }
+
+    int32_t build(std::vector<int32_t>& idx) {
+        int32_t me = (int32_t)nodes.size();
+        nodes.emplace_back();
+        node_bounds(idx, nodes.back());
+        const size_t cnt = idx.size();
+        if ((int)cnt <= leaf_size) {
+            BuildNode& n = nodes[me];
+            n.first = (int32_t)order.size();
+            n.count = (int32_t)cnt;
+            order.insert(order.end(), idx.begin(), idx.end());
+            return me;
+        }
+
+        std::vector<int32_t> left_idx, right_idx;
+        partition(idx, left_idx, right_idx);
         idx.clear();
         idx.shrink_to_fit();
 
@@ -202,7 +212,106 @@ int64_t mtpu_build_bvh(const float* prim_lo, const float* prim_hi, int64_t T,
 
     std::vector<int32_t> root_idx((size_t)T);
     for (int64_t i = 0; i < T; ++i) root_idx[(size_t)i] = (int32_t)i;
-    b.build(root_idx);
+
+    // Parallel top levels (gkdtree.h:1040-1060 TreeBuilder threads role):
+    // expand a small spine of SAH splits serially, then build each spine
+    // leaf's subtree in its own thread with a private Builder, and stitch
+    // the DFS blocks back together (identical output to the serial build:
+    // the splits are the same and DFS emission is left-to-right).
+    unsigned hw = std::thread::hardware_concurrency();
+    if (const char* env = std::getenv("MTPU_BVH_THREADS")) {
+        int v = std::atoi(env);
+        if (v >= 1) hw = (unsigned)v;
+    }
+    if (hw > 1 && T >= 1 << 15) {
+        struct SpineNode {
+            BuildNode bn;
+            int left = -1, right = -1;   // spine children, -1 = task leaf
+            int task = -1;               // index into tasks
+        };
+        std::vector<SpineNode> spine;
+        std::vector<std::vector<int32_t>> tasks;
+        int target_tasks = (int)std::min<unsigned>(hw * 2, 16);
+
+        // breadth-first expansion of the largest task until enough tasks
+        struct Pending { int slot; std::vector<int32_t> idx; };
+        spine.emplace_back();
+        std::vector<Pending> frontier;
+        frontier.push_back({0, std::move(root_idx)});
+        while ((int)frontier.size() < target_tasks) {
+            // pick the largest frontier entry
+            size_t pick = 0;
+            for (size_t i = 1; i < frontier.size(); ++i)
+                if (frontier[i].idx.size() > frontier[pick].idx.size())
+                    pick = i;
+            if ((int)frontier[pick].idx.size() <= b.leaf_size * 4) break;
+            Pending cur = std::move(frontier[pick]);
+            frontier.erase(frontier.begin() + pick);
+            b.node_bounds(cur.idx, spine[cur.slot].bn);
+            std::vector<int32_t> li, ri;
+            b.partition(cur.idx, li, ri);
+            int ls = (int)spine.size(); spine.emplace_back();
+            int rs = (int)spine.size(); spine.emplace_back();
+            spine[cur.slot].left = ls;
+            spine[cur.slot].right = rs;
+            frontier.push_back({ls, std::move(li)});
+            frontier.push_back({rs, std::move(ri)});
+        }
+        for (auto& f : frontier) {
+            spine[f.slot].task = (int)tasks.size();
+            tasks.push_back(std::move(f.idx));
+        }
+
+        // build every task subtree in parallel
+        std::vector<Builder> subs(tasks.size());
+        {
+            std::vector<std::thread> pool;
+            std::atomic<size_t> next{0};
+            auto worker = [&]() {
+                for (;;) {
+                    size_t k = next.fetch_add(1);
+                    if (k >= tasks.size()) return;
+                    Builder& sb = subs[k];
+                    sb.prim_lo = prim_lo;
+                    sb.prim_hi = prim_hi;
+                    sb.leaf_size = b.leaf_size;
+                    sb.centroid = b.centroid;  // shared read-only copy
+                    sb.build(tasks[k]);
+                }
+            };
+            for (unsigned t = 0; t < std::min<unsigned>(hw, tasks.size()); ++t)
+                pool.emplace_back(worker);
+            for (auto& th : pool) th.join();
+        }
+
+        // stitch: DFS over the spine, emitting spine nodes and task blocks
+        // with node/order offsets rebased
+        std::function<int32_t(int)> emit = [&](int sslot) -> int32_t {
+            const SpineNode& sn = spine[sslot];
+            if (sn.task >= 0) {
+                const Builder& sb = subs[sn.task];
+                int32_t base = (int32_t)b.nodes.size();
+                int32_t obase = (int32_t)b.order.size();
+                for (const BuildNode& n : sb.nodes) {
+                    BuildNode m = n;
+                    if (m.left >= 0) m.left += base;
+                    if (m.first >= 0) m.first += obase;
+                    b.nodes.push_back(m);
+                }
+                b.order.insert(b.order.end(), sb.order.begin(), sb.order.end());
+                return base;
+            }
+            int32_t me = (int32_t)b.nodes.size();
+            b.nodes.push_back(sn.bn);
+            int32_t l = emit(sn.left);
+            b.nodes[me].left = l;
+            emit(sn.right);
+            return me;
+        };
+        emit(0);
+    } else {
+        b.build(root_idx);
+    }
 
     const int64_t N = (int64_t)b.nodes.size();
     // subtree sizes -> skip links. Nodes are already in DFS order, so a

@@ -502,6 +502,39 @@ def render_irrcache(scene, static, sensor, cfg: icommon.IntegratorConfig,
     return film_mod.develop(film)
 
 
+def render_motion_blur(build_at, sensor, cfg: icommon.IntegratorConfig,
+                       settings: RenderSettings, shutter=(0.0, 1.0),
+                       time_strata: int = 8, sensor_at=None):
+    """Motion blur over a shutter interval by stratified TIME SNAPSHOTS:
+    the TPU-native replacement for the reference's space-time kd-tree
+    (shapes/deformable.cpp) and AnimatedTransform ray-time machinery
+    (track.cpp:394). ``build_at(t) -> (scene, static)`` compiles the scene
+    at a fixed time (mesh keyframes lerped / AnimatedTransform poses
+    evaluated host-side — core.quat.AnimatedTransform does both); each
+    stratum renders spp/strata samples with a jittered time inside its
+    stratum, and the strata average IS the shutter integral. Static
+    geometry per snapshot keeps every kernel shape-stable under jit; the
+    snapshots share one compiled program when their SceneStatic matches.
+
+    ``sensor_at(t)`` optionally animates the camera (camera motion blur).
+    """
+    from dataclasses import replace
+
+    t0, t1 = shutter
+    n = max(1, time_strata)
+    spp_each = max(1, settings.spp // n)
+    rng = np.random.default_rng(settings.seed)
+    acc = None
+    for k in range(n):
+        t = t0 + (t1 - t0) * (k + rng.random()) / n
+        scene_k, static_k = build_at(float(t))
+        sens_k = sensor if sensor_at is None else sensor_at(float(t))
+        img = render(scene_k, static_k, sens_k, cfg,
+                     replace(settings, spp=spp_each, seed=settings.seed + k))
+        acc = img if acc is None else acc + img
+    return acc / n
+
+
 def render_motion(scene, static, sensor_t0, sensor_t1,
                   settings: RenderSettings):
     """misc/motion.cpp: per-pixel image-space motion vectors of the first
@@ -647,7 +680,19 @@ def render(scene, static, sensor, cfg: icommon.IntegratorConfig,
             s = int(ck["samples"])
     while s < settings.spp:
         n = min(chunk, settings.spp - s)
-        film = one_pass(scene, film, jnp.asarray(s, jnp.int32), n)
+        try:
+            film = one_pass(scene, film, jnp.asarray(s, jnp.int32), n)
+            jax.block_until_ready(film.data)
+        except Exception as e:  # failure containment (SURVEY 5.3): a
+            # failed device step is re-issued once with the SAME
+            # sample_base — the counter-based RNG makes the retry
+            # bitwise identical to what the lost step would have produced
+            # (the scheduler's cancelled-work story, minus the data loss)
+            from ..utils.logging import get_logger
+
+            get_logger().warning(
+                "render pass at spp %d failed (%s); re-issuing once", s, e)
+            film = one_pass(scene, film, jnp.asarray(s, jnp.int32), n)
         s += n
         if settings.checkpoint:
             tmp = settings.checkpoint + ".tmp.npz"

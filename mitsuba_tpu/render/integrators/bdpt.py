@@ -257,9 +257,11 @@ def _remap0(x):
 
 
 def _mis_from_entries(eye_entries, light_entries, cam_delta=False):
-    """Balance-heuristic weight 1/(1+sum ri) given junction-substituted
-    per-vertex {fwd, rev, delta} dicts. ``eye_entries`` ordered z_1..z_t,
-    ``light_entries`` ordered y_0..y_{s-1}. (Path::misWeight, path.cpp.)"""
+    """POWER-heuristic (beta=2) weight 1/(1 + sum ri^2) given
+    junction-substituted per-vertex {fwd, rev, delta} dicts — the
+    reference squares every alternative strategy's pdf ratio
+    (Path::miWeight, libbidir/path.cpp:266 `weight += value*value`).
+    ``eye_entries`` ordered z_1..z_t, ``light_entries`` y_0..y_{s-1}."""
     sum_ri = jnp.zeros(())
     ri = jnp.ones(())
     # camera side: z_t down to z_1; z_0 (camera) treated non-delta so the
@@ -269,7 +271,7 @@ def _mis_from_entries(eye_entries, light_entries, cam_delta=False):
         ri = ri * m.safe_div(_remap0(e["rev"]), _remap0(e["fwd"]))
         below_delta = eye_entries[k - 1]["delta"] if k > 0 else cam_delta
         use = ~e["delta"] & ~below_delta if k > 0 else ~e["delta"]
-        sum_ri = sum_ri + jnp.where(use, ri, 0.0)
+        sum_ri = sum_ri + jnp.where(use, ri * ri, 0.0)
     ri = jnp.ones(())
     # light side: y_{s-1} down to y_0; y_0's gate uses the light's own
     # delta flag (area lights: False)
@@ -277,7 +279,7 @@ def _mis_from_entries(eye_entries, light_entries, cam_delta=False):
         e = light_entries[k]
         ri = ri * m.safe_div(_remap0(e["rev"]), _remap0(e["fwd"]))
         below_delta = light_entries[k - 1]["delta"] if k > 0 else jnp.zeros((), bool)
-        sum_ri = sum_ri + jnp.where(~e["delta"] & ~below_delta, ri, 0.0)
+        sum_ri = sum_ri + jnp.where(~e["delta"] & ~below_delta, ri * ri, 0.0)
     return m.safe_div(1.0, 1.0 + sum_ri)
 
 

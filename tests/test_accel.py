@@ -236,3 +236,39 @@ def test_slim_layout_matches_xla(small_mesh_scene=None):
     both = h0 & h1
     assert np.allclose(np.asarray(t0)[both], np.asarray(t1)[both], rtol=1e-4)
     assert (np.asarray(i0)[both] == np.asarray(i1)[both]).mean() > 0.99
+
+
+def test_native_builder_parallel_matches_serial():
+    """The threaded native builder (gkdtree.h TreeBuilder role) emits the
+    EXACT same DFS layout as its serial path — the spine splits reuse the
+    same SAH code and blocks are stitched left-to-right."""
+    import os
+    import subprocess
+    import sys as _sys
+
+    from mitsuba_tpu.native import get_lib
+
+    if get_lib() is None:
+        import pytest
+        pytest.skip("native builder unavailable")
+
+    code = """
+import numpy as np, sys, os
+sys.path.insert(0, {root!r})
+os.environ["MTPU_BVH_THREADS"] = sys.argv[1]
+from mitsuba_tpu.native import build_bvh_native
+rng = np.random.default_rng(3)
+T = 50_000
+c = rng.uniform(0, 1, (T, 3)); ext = rng.uniform(0.001, 0.02, (T, 3))
+b = build_bvh_native(c - ext, c + ext, 2)
+np.savez(sys.argv[2], lo=b.lo, hi=b.hi, skip=b.skip, order=b.prim_order)
+""".format(root=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        for t in ("1", "4"):
+            subprocess.run([_sys.executable, "-c", code, t, f"{d}/b{t}.npz"],
+                           check=True)
+        a = np.load(f"{d}/b1.npz")
+        b = np.load(f"{d}/b4.npz")
+        for k in ("lo", "hi", "skip", "order"):
+            assert np.array_equal(a[k], b[k]), k

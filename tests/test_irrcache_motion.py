@@ -53,3 +53,66 @@ def test_motion_vectors(cornell):
 
     mv0 = np.asarray(api.render_motion(scene, static, s0, s0, st))
     assert np.abs(mv0[..., :2]).max() < 1e-4
+
+
+def test_motion_blur_snapshot_average():
+    """Stratified time-snapshot motion blur (deformable.cpp/track.cpp
+    replacement): with 2 strata and deterministic keyframes, the blurred
+    image equals the average of the per-time renders; an animated
+    emitter-lit box leaves a streak covering both poses."""
+    from dataclasses import replace
+
+    import jax.numpy as jnp
+
+    from mitsuba_tpu.core.quat import AnimatedTransform
+    from mitsuba_tpu.core.transform import Transform
+    from mitsuba_tpu.render import api, sensor as S, shapes as sh
+    from mitsuba_tpu.render.integrators.common import IntegratorConfig, PATH
+    from mitsuba_tpu.render.scene import SceneBuilder
+
+    track = AnimatedTransform(
+        [0.0, 1.0],
+        [Transform.translate([-0.5, 0.0, 2.0]),
+         Transform.translate([+0.5, 0.0, 2.0])])
+
+    def build_at(t):
+        b = SceneBuilder()
+        b.add_constant_emitter((1.0, 1.0, 1.0))
+        pose = np.asarray(track.eval(jnp.asarray([t])))[0]  # (3, 4)
+        m4 = np.eye(4)
+        m4[:3, :] = pose
+        tr = Transform.from_matrix(m4)
+        v, f, uv = sh.cube(tr * Transform.scale([0.2, 0.2, 0.2]))
+        b.add_mesh(v, f, b.add_material(albedo=(0.1, 0.1, 0.1)), uvs=uv)
+        return b.build()
+
+    cam = Transform.look_at([0, 0, 0], [0, 0, 2.0], [0, 1, 0])
+    sens = S.make_perspective(cam, 60.0, 32, 32)
+    cfg = IntegratorConfig(type=PATH, max_depth=2)
+    st = api.RenderSettings(width=32, height=32, spp=8, spp_per_pass=4,
+                            seed=2)
+
+    blurred = np.asarray(api.render_motion_blur(
+        build_at, sens, cfg, st, time_strata=2))
+    assert np.isfinite(blurred).all()
+
+    # mechanism check: the blur equals the average of the snapshot renders
+    # at the exact stratified times (same rng stream, same per-stratum
+    # seeds/spp) — the stratified-snapshot estimator, verified end to end
+    rng = np.random.default_rng(st.seed)
+    times = [(k + rng.random()) / 2 for k in range(2)]
+    parts = []
+    for k, t in enumerate(times):
+        sc, stc = build_at(float(t))
+        parts.append(np.asarray(api.render(
+            sc, stc, sens, cfg, replace(st, spp=4, seed=st.seed + k))))
+    np.testing.assert_allclose(blurred, np.mean(parts, axis=0), rtol=1e-6)
+
+    # physics check: the blurred occlusion streak is wider than any single
+    # snapshot's silhouette
+    bg = blurred.mean(axis=-1)[:4].mean()
+    def dark_cols(img):
+        return int((np.asarray(img).mean(axis=-1)[12:20].mean(axis=0)
+                    < 0.9 * bg).sum())
+    assert dark_cols(blurred) > dark_cols(parts[0]), (
+        dark_cols(blurred), dark_cols(parts[0]))
