@@ -390,7 +390,7 @@ def _nearest_treelet(o, inv_d, t_min, t_max, tl_lo, tl_hi):
 
 def _treelet_rounds(tab_ref, rows_ref, oxv, oyv, ozv, dxv, dyv, dzv,
                     tmin, tmaxv, K, any_hit=False, strip=STRIP,
-                    slim=False):
+                    slim=False, scr_ref=None):
     """Persistent per-block round loop: every round each lane picks its
     nearest PENDING treelet whose entry beats its best hit (dense unrolled
     K-way root-box test — scalar treelet constants against vector lanes, no
@@ -398,7 +398,13 @@ def _treelet_rounds(tab_ref, rows_ref, oxv, oyv, ozv, dxv, dyv, dzv,
     retires when no lane can improve. One kernel launch total; blocks
     finish independently."""
     N = rows_ref.shape[0] * (SLIM_SLOTS if slim else 1)
-    sweep_fn = _sweep_slim if slim else _sweep
+    if slim and scr_ref is not None:
+        def sweep_fn(rows_r, *a, **k):
+            return _sweep_slim8(rows_r, scr_ref, *a, **k)
+    elif slim:
+        sweep_fn = _sweep_slim
+    else:
+        sweep_fn = _sweep
     W32 = -(-K // 32)
     INF = jnp.float32(np.inf)
     inx, iny, inz = _safe_inv_v(dxv), _safe_inv_v(dyv), _safe_inv_v(dzv)
@@ -489,11 +495,12 @@ def _treelet_rounds(tab_ref, rows_ref, oxv, oyv, ozv, dxv, dyv, dzv,
 
 
 @partial(jax.jit, static_argnames=("sort", "any_hit", "interpret",
-                                   "debug_counts", "strip", "slim"))
+                                   "debug_counts", "strip", "slim", "sub8"))
 def bvh_traverse_treelets(rows, tl_root, tl_skip, tl_lo, tl_hi,
                           o, d, t_min, t_max, scene_lo, scene_hi,
                           sort=True, any_hit=False, interpret=False,
-                          debug_counts=False, strip=STRIP, slim=False):
+                          debug_counts=False, strip=STRIP, slim=False,
+                          sub8=True):
     """Two-level traversal: the preorder node stream is cut into K treelets
     (contiguous subtree row ranges, accel/build.treelet_roots); rays are
     sorted once by (nearest treelet, octant, origin morton) and the kernel
@@ -561,12 +568,15 @@ def bvh_traverse_treelets(rows, tl_root, tl_skip, tl_lo, tl_hi,
     rows_spec = pl.BlockSpec(rows.shape, lambda i: (0, 0),
                              memory_space=pltpu.VMEM)
 
+    use_sub8 = slim and sub8
+
     def kern(tab_r, rows_r, *rest):
         ins = [r[0] for r in rest[:8]]
-        outs = rest[8:]
+        scr = rest[-1] if use_sub8 else None
+        outs = rest[8:-1] if use_sub8 else rest[8:]
         bt, bi, bu, bv, nrounds, nstrips = _treelet_rounds(
             tab_r, rows_r, *ins, K=K, any_hit=any_hit, strip=strip,
-            slim=slim)
+            slim=slim, scr_ref=scr)
         outs[0][0] = bt
         outs[1][0] = bi
         outs[2][0] = bu
@@ -592,6 +602,8 @@ def bvh_traverse_treelets(rows, tl_root, tl_skip, tl_lo, tl_hi,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=112 * 1024 * 1024,
         ),
+        scratch_shapes=(
+            [pltpu.VMEM((BS, 1), jnp.int32)] if use_sub8 else []),
         interpret=interpret,
     )(tab, rows, *rays)
 
@@ -736,4 +748,113 @@ def _sweep_slim(rows_ref, oxv, oyv, ozv, dxv, dyv, dzv, inx, iny, inz, tmin,
         return (jnp.min(node) & ~3, node, bt, bi, bu, bv, nit + 1)
 
     _, _, bt, bi, bu, bv, nit = jax.lax.while_loop(cond, body, state0)
+    return bt, bi, bu, bv, nit
+
+
+# --- slim8: per-sublane node pointers (8 independent subsweeps per block) ---
+#
+# The single-pointer sweeps above advance ONE node per step for the whole
+# (8, 128) block: every lane not parked on that node idles, and the visited
+# row count is the union of all 1024 lanes' paths. slim8 gives each of the
+# 8 sublanes its own pointer: one step processes 8 different nodes (one per
+# 128-lane sublane group) for roughly the same vector-op budget, and each
+# subsweep's union covers only its 128 rays. Trick that makes the data
+# assembly cheap: each sublane's strip base is aligned down to SLIM_SLOTS,
+# so within a strip the slot offset (node & 3) equals (t & 3) — a STATIC
+# lane index. Assembling the per-sublane node vreg is then 8 dynamic-sublane
+# row loads every 4 steps plus 11 static lane extracts per step; no dynamic
+# lane gathers (which Mosaic cannot do across vregs).
+
+def _sweep_slim8(rows_ref, scr_ref, oxv, oyv, ozv, dxv, dyv, dzv,
+                 inx, iny, inz, tmin, node0, endv, bt, bi, bu, bv,
+                 any_hit=False, strip=STRIP):
+    """Per-sublane strip-mined sweep over slot-packed slim rows.
+    ``scr_ref``: (BS, 1) int32 VMEM scratch for the vector->scalar
+    round-trip of the per-sublane base pointers."""
+    N4 = rows_ref.shape[0]
+    N = N4 * SLIM_SLOTS
+
+    base0 = jnp.min(node0, axis=1, keepdims=True) & ~3        # (BS, 1)
+    state0 = (jnp.min(node0) & ~3, base0, node0, bt, bi, bu, bv,
+              jnp.zeros((), jnp.int32))
+
+    def cond(st):
+        return st[0] < N
+
+    def body(st):
+        _, base8, node, bt, bi, bu, bv, nit = st
+        scr_ref[:, :] = base8
+
+        rowv = None
+        for t in range(strip):
+            if t % SLIM_SLOTS == 0:
+                rs = []
+                for j in range(BS):
+                    rj = jnp.minimum((scr_ref[j, 0] + t) >> 2, N4 - 1)
+                    rs.append(rows_ref[rj, :])
+                rowv = jnp.stack(rs, axis=0)                  # (BS, 128)
+            c0 = 32 * (t % SLIM_SLOTS)
+
+            def f(c):
+                # static lane extract -> (BS, 1), broadcasts against rays
+                return jax.lax.slice(rowv, (0, c0 + c), (BS, c0 + c + 1))
+
+            cur = base8 + t                                   # (BS, 1)
+            here = node == cur
+
+            skip = f(_S_SKIP).astype(jnp.int32)
+            tid = f(_S_TID).astype(jnp.int32)
+            is_leaf = tid >= 0
+
+            g0, g1, g2 = f(0), f(1), f(2)
+            g3, g4, g5 = f(3), f(4), f(5)
+            g6, g7, g8 = f(6), f(7), f(8)
+
+            t0x = (g0 - oxv) * inx
+            t1x = (g3 - oxv) * inx
+            t0y = (g1 - oyv) * iny
+            t1y = (g4 - oyv) * iny
+            t0z = (g2 - ozv) * inz
+            t1z = (g5 - ozv) * inz
+            tnear = jnp.maximum(
+                jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+                jnp.maximum(jnp.minimum(t0z, t1z), tmin),
+            )
+            tfar = jnp.minimum(
+                jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+                jnp.minimum(jnp.maximum(t0z, t1z), bt),
+            )
+            hit_box = here & (tnear <= tfar)
+
+            pvx = dyv * g8 - dzv * g7
+            pvy = dzv * g6 - dxv * g8
+            pvz = dxv * g7 - dyv * g6
+            det = g3 * pvx + g4 * pvy + g5 * pvz
+            ok = jnp.abs(det) > 1e-12
+            invd = 1.0 / jnp.where(ok, det, 1.0)
+            tvx, tvy, tvz = oxv - g0, oyv - g1, ozv - g2
+            uu = (tvx * pvx + tvy * pvy + tvz * pvz) * invd
+            qx = tvy * g5 - tvz * g4
+            qy = tvz * g3 - tvx * g5
+            qz = tvx * g4 - tvy * g3
+            vv = (dxv * qx + dyv * qy + dzv * qz) * invd
+            tt = (g6 * qx + g7 * qy + g8 * qz) * invd
+            h = (here & is_leaf & ok & (uu >= 0) & (vv >= 0)
+                 & (uu + vv <= 1) & (tt > tmin) & (tt < bt))
+            bt = jnp.where(h, tt, bt)
+            bi = jnp.where(h, tid, bi)
+            bu = jnp.where(h, uu, bu)
+            bv = jnp.where(h, vv, bv)
+
+            descend = hit_box & jnp.logical_not(is_leaf)
+            nxt = jnp.where(descend, cur + 1, skip)
+            node = jnp.where(here, nxt, node)
+            node = jnp.where(node >= endv, N, node)
+            if any_hit:
+                node = jnp.where(bi >= 0, N, node)
+
+        base8 = jnp.min(node, axis=1, keepdims=True) & ~3
+        return (jnp.min(node) & ~3, base8, node, bt, bi, bu, bv, nit + 1)
+
+    _, _, _, bt, bi, bu, bv, nit = jax.lax.while_loop(cond, body, state0)
     return bt, bi, bu, bv, nit

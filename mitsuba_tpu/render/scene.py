@@ -82,6 +82,11 @@ class Scene(NamedTuple):
     tri_mat: jnp.ndarray      # (T,) int32
     tri_emitter: jnp.ndarray  # (T,) int32 (-1 none)
     tri_nee_pdf_area: jnp.ndarray  # (T,) em_pmf * tri_pmf / area (0 if not emissive)
+    # packed shading-attribute rows: ONE wide gather per hit instead of ten
+    # narrow ones (XLA TPU gathers cost ~1-3 ms each at 262k lanes — the
+    # record build was ~30 ms/bounce as separate gathers). Layout:
+    # n0 n1 n2 (9) | uv0 uv1 uv2 (6) | gn (3) | mat em nee (3) = 21 cols.
+    tri_attrs: jnp.ndarray    # (T, 21) float32
     # analytic spheres
     sph_center: jnp.ndarray   # (S, 3)
     sph_radius: jnp.ndarray   # (S,)
@@ -206,20 +211,21 @@ def ray_intersect(scene: Scene, static: SceneStatic, o, d, t_min, t_max,
         ti = jnp.maximum(tri_idx, 0)
         b1, b2 = tri_u, tri_v
         b0 = 1.0 - b1 - b2
+        at = scene.tri_attrs[ti]  # ONE wide gather (see Scene.tri_attrs)
         n_sh_tri = m.normalize(
-            b0[..., None] * scene.tri_n0[ti]
-            + b1[..., None] * scene.tri_n1[ti]
-            + b2[..., None] * scene.tri_n2[ti]
+            b0[..., None] * at[:, 0:3]
+            + b1[..., None] * at[:, 3:6]
+            + b2[..., None] * at[:, 6:9]
         )
         uv_tri = (
-            b0[..., None] * scene.tri_uv0[ti]
-            + b1[..., None] * scene.tri_uv1[ti]
-            + b2[..., None] * scene.tri_uv2[ti]
+            b0[..., None] * at[:, 9:11]
+            + b1[..., None] * at[:, 11:13]
+            + b2[..., None] * at[:, 13:15]
         )
-        gn_tri = scene.tri_gn[ti]
-        mat_tri = scene.tri_mat[ti]
-        em_tri = scene.tri_emitter[ti]
-        nee_tri = scene.tri_nee_pdf_area[ti]
+        gn_tri = at[:, 15:18]
+        mat_tri = at[:, 18].astype(jnp.int32)
+        em_tri = at[:, 19].astype(jnp.int32)
+        nee_tri = at[:, 20]
 
     if static.n_spheres > 0:
         # --- sphere shading data (sphere.cpp fillIntersectionRecord) ---
@@ -1267,6 +1273,12 @@ class SceneBuilder:
             tri_mat=jnp.asarray(tmat),
             tri_emitter=jnp.asarray(tem),
             tri_nee_pdf_area=jnp.asarray(tri_nee),
+            tri_attrs=jnp.asarray(np.concatenate([
+                tn0, tn1, tn2, tuv0, tuv1, tuv2, tgn,
+                np.asarray(tmat, np.float64)[:, None],
+                np.asarray(tem, np.float64)[:, None],
+                np.asarray(tri_nee, np.float64)[:, None],
+            ], axis=1), jnp.float32),
             sph_center=jnp.asarray(sc),
             sph_radius=jnp.asarray(sr),
             sph_mat=jnp.asarray(sm),
