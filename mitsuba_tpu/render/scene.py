@@ -130,6 +130,7 @@ class SceneStatic:
     has_normal_maps: bool = False  # any material has a normal/bump texture
     has_sss: bool = False      # any material references a subsurface profile
     has_boundary_media: bool = False  # any material carries an interior/exterior medium
+    ewa_taps: int = 0          # >1 enables N-tap anisotropic (EWA) filtering
 
 
 # === device queries =======================================================
@@ -492,8 +493,59 @@ def uv_footprint(scene: Scene, its: Interaction, spread):
     return jnp.where(tri_lane, fp, 0.0)
 
 
+def uv_footprint_aniso(scene: Scene, its: Interaction, spread):
+    """Anisotropic ray-cone footprint: (fp_minor_uv (R,), duv_major (R, 2)).
+
+    The EWA half of mipmap.h:861 — a ray cone of diameter t*spread hits the
+    surface as an ellipse: minor axis = cone diameter (perpendicular to the
+    in-plane ray direction), major axis = diameter / cos(theta) along it.
+    Both axes are mapped world->uv exactly through the hit triangle's
+    (e1, e2) -> (duv1, duv2) linear map (the dpdu/dpdv route of
+    intersection.cpp), so anisotropy follows the actual parameterization.
+    The minor length drives the MIP LOD; duv_major is the full uv-space
+    major-axis vector for multi-tap anisotropic filtering."""
+    T = scene.tri_p0.shape[0]
+    ti = jnp.clip(its.prim_id, 0, max(T - 1, 0))
+    e1 = scene.tri_e1[ti]
+    e2 = scene.tri_e2[ti]
+    duv1 = scene.tri_uv1[ti] - scene.tri_uv0[ti]
+    duv2 = scene.tri_uv2[ti] - scene.tri_uv0[ti]
+
+    d = -its.wi_world                       # unit ray direction
+    gn = its.gn
+    cos_t = m.dot(d, gn)
+    t_vec = d - cos_t[..., None] * gn       # in-plane stretch direction
+    t_len = m.length(t_vec)
+    fallback = m.normalize(jnp.cross(gn, e1))
+    t_dir = jnp.where(
+        (t_len > 1e-6)[..., None],
+        t_vec / jnp.maximum(t_len, 1e-12)[..., None], fallback)
+    cos_a = jnp.clip(jnp.abs(cos_t), 1e-2, 1.0)
+    world_d = jnp.where(jnp.isfinite(its.t), its.t, 0.0) * spread
+    minor_w = world_d[..., None] * jnp.cross(gn, t_dir)
+    major_w = (world_d / cos_a)[..., None] * t_dir
+
+    # solve dp = a e1 + b e2 (normal equations) -> duv = a duv1 + b duv2
+    e11 = m.dot(e1, e1)
+    e12 = m.dot(e1, e2)
+    e22 = m.dot(e2, e2)
+    det = jnp.maximum(e11 * e22 - e12 * e12, 1e-20)
+
+    def to_uv(dp):
+        p1 = m.dot(dp, e1)
+        p2 = m.dot(dp, e2)
+        a = (e22 * p1 - e12 * p2) / det
+        b = (e11 * p2 - e12 * p1) / det
+        return a[..., None] * duv1 + b[..., None] * duv2
+
+    tri_lane = its.valid & (its.prim_id >= 0) & (its.prim_id < T)
+    fp_minor = jnp.where(tri_lane, m.length(to_uv(minor_w)), 0.0)
+    duv_major = jnp.where(tri_lane[..., None], to_uv(major_w), 0.0)
+    return fp_minor, duv_major
+
+
 def eval_albedo(scene: Scene, its: Interaction, static: SceneStatic = None,
-                fp_uv=None):
+                fp_uv=None, duv_major=None):
     """Diffuse reflectance with texture lookup (Texture::eval path)."""
     mid = jnp.maximum(its.mat_id, 0)
     base = scene.materials.albedo[mid]
@@ -507,12 +559,15 @@ def eval_albedo(scene: Scene, its: Interaction, static: SceneStatic = None,
     # vertexcolors/curvature) fall back to color0 instead of rendering an
     # unrelated triangle's attributes (advisor finding)
     prim = jnp.where(its.prim_id < scene.tri_p0.shape[0], its.prim_id, -1)
+    taps = static.ewa_taps if static is not None else 0
     return eval_texture(scene.textures, tex_id, its.uv, base,
-                        bary=its.bary, prim=prim, fp_uv=fp_uv, p=its.p)
+                        bary=its.bary, prim=prim, fp_uv=fp_uv, p=its.p,
+                        duv_major=duv_major, ewa_taps=taps)
 
 
 def bsdf_locals(scene: Scene, its: Interaction,
-                static: SceneStatic = None, fp_uv=None) -> bsdf_mod.BsdfLocals:
+                static: SceneStatic = None, fp_uv=None,
+                duv_major=None) -> bsdf_mod.BsdfLocals:
     opacity = None
     blend = None
     if static is None or static.has_textures:
@@ -529,7 +584,8 @@ def bsdf_locals(scene: Scene, its: Interaction,
         blend = eval_texture(scene.textures, w_tex, its.uv, w_base)[..., 0]
     return bsdf_mod.gather_locals(
         scene.materials, its.mat_id,
-        albedo_override=eval_albedo(scene, its, static, fp_uv=fp_uv),
+        albedo_override=eval_albedo(scene, its, static, fp_uv=fp_uv,
+                                    duv_major=duv_major),
         opacity_override=opacity, blend_override=blend,
     )
 
@@ -608,6 +664,7 @@ class SceneBuilder:
     bitmaps: list = field(default_factory=list)
     media: list = field(default_factory=list)
     vol_grids: list = field(default_factory=list)
+    ewa_taps: int = 0  # >1: N-tap anisotropic texture filtering (EWA role)
 
     # --- materials ---
     def add_material(
@@ -1325,6 +1382,7 @@ class SceneBuilder:
             has_boundary_media=any(
                 mm.get("interior_medium", -1) >= 0
                 or mm.get("exterior_medium", -1) >= 0 for mm in self.mats),
+            ewa_taps=int(getattr(self, "ewa_taps", 0)),
         )
         return scene, static
 

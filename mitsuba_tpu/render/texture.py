@@ -70,13 +70,19 @@ class TextureTable(NamedTuple):
 
 
 def eval_texture(tt: TextureTable, tex_id, uv, default,
-                 bary=None, prim=None, lod=None, fp_uv=None, p=None):
+                 bary=None, prim=None, lod=None, fp_uv=None, p=None,
+                 duv_major=None, ewa_taps=0):
     """Evaluate textures for a batch: tex_id (R,) int32 (-1 -> default),
     uv (R, 2), default (R, 3). Optional: bary (R, 2) triangle barycentrics
     + prim (R,) triangle ids (wireframe/vertexcolors/curvature), lod (R,)
     MIP level (trilinear; None -> finest), fp_uv (R,) ray-cone footprint
     in uv units from which the MIP LOD is derived per texture size
-    (mipmap.h:861 trilinear role). Returns (R, 3)."""
+    (mipmap.h:861 trilinear role). With ``duv_major`` (R, 2) — the uv-space
+    major footprint axis — and ``ewa_taps`` > 1, bitmap lookups average
+    ewa_taps trilinear taps spread along the major axis while the LOD
+    follows the minor axis (mipmap.h evalEWA's anisotropic role, realized
+    as fixed unrolled taps — the TPU-friendly form of hardware aniso
+    filtering). Returns (R, 3)."""
     tid = jnp.maximum(tex_id, 0)
     ttype = tt.type[tid]
     uv_t = uv * tt.uv_scale[tid] + tt.uv_offset[tid]
@@ -88,6 +94,13 @@ def eval_texture(tt: TextureTable, tex_id, uv, default,
         size = jnp.maximum(tt.sizes[bi_fp, 0], tt.sizes[bi_fp, 1])
         s_mag = jnp.max(jnp.abs(tt.uv_scale[tid]), axis=-1)
         texels = fp_uv * s_mag * size.astype(jnp.float32)
+        if duv_major is not None and ewa_taps > 1:
+            # anisotropic: N taps cover the major axis, so the per-tap
+            # footprint (-> LOD) is max(minor, major/taps) — anisotropy
+            # beyond the tap count degrades to blur, never to aliasing
+            maj = (jnp.linalg.norm(duv_major * tt.uv_scale[tid], axis=-1)
+                   * size.astype(jnp.float32))
+            texels = jnp.maximum(texels, maj / ewa_taps)
         lod = jnp.where(texels > 1.0,
                         jnp.log2(jnp.maximum(texels, 1.0)), 0.0)
 
@@ -124,6 +137,16 @@ def eval_texture(tt: TextureTable, tex_id, uv, default,
     # bitmap.cpp: bilinear (or trilinear MIP) lookup with repeat wrapping
     if lod is None:
         v_bitmap = _bitmap_bilinear_level(tt, tid, uv_t, None)
+    elif duv_major is not None and ewa_taps > 1:
+        # anisotropic: average taps along the uv-space major axis (scaled
+        # into texture space like uv itself); LOD already tracks the minor
+        # axis, so elongated footprints stay sharp across and filtered along
+        duv_t = duv_major * tt.uv_scale[tid]
+        acc = 0.0
+        for i in range(ewa_taps):
+            w = (i + 0.5) / ewa_taps - 0.5
+            acc = acc + _bitmap_trilinear(tt, tid, uv_t + w * duv_t, lod)
+        v_bitmap = acc / ewa_taps
     else:
         v_bitmap = _bitmap_trilinear(tt, tid, uv_t, lod)
     out = jnp.where((ttype == TEX_BITMAP)[..., None], v_bitmap, out)

@@ -137,6 +137,48 @@ def test_ray_cone_mip_grazing():
         outs[True].std(), outs[False].std())
 
 
+def test_ewa_anisotropic_keeps_cross_detail():
+    """EWA parity (mipmap.h:861 evalEWA role): at grazing incidence the
+    footprint is long along the view direction but narrow across it. With a
+    texture striped ACROSS the view direction, isotropic trilinear (LOD from
+    the stretched geometric-mean footprint) blurs the stripes away, while
+    N-tap anisotropic filtering (LOD from the minor axis, taps along the
+    major axis) preserves them."""
+    from mitsuba_tpu.render.integrators.common import PATH
+
+    # stripes vary along u only (u maps to world x = across the view)
+    n = 256
+    yy, xx = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    img = ((xx // 8 % 2).astype(np.float32))[..., None] * np.ones(3, np.float32)
+
+    outs = {}
+    for taps in (0, 4):
+        b = SceneBuilder()
+        b.ewa_taps = taps
+        t = b.add_texture_bitmap(img)
+        mat = b.add_material(albedo=(1, 1, 1), albedo_tex=t)
+        V = [[-100, 0, -100], [100, 0, -100], [100, 0, 100], [-100, 0, 100]]
+        F = [[0, 2, 1], [0, 3, 2]]
+        UV = [[0, 0], [1, 0], [1, 1], [0, 1]]
+        b.add_mesh(V, F, mat, uvs=UV)
+        b.add_directional_light([0.0, -1.0, 0.0], (np.pi,) * 3)
+        sc, stt = b.build()
+        assert stt.ewa_taps == taps
+
+        cam = Transform.look_at([0, 1.0, -99], [0, 0.0, 50], [0, 1, 0])
+        sens = S.make_perspective(cam, 40.0, 32, 32)
+        cfg = IntegratorConfig(type=PATH, max_depth=2)
+        st = api.RenderSettings(width=32, height=32, spp=4, spp_per_pass=4,
+                                filter_type=0, mip=True)
+        im = np.asarray(api.render(sc, stt, sens, cfg, st))
+        # moderately-minified band below the horizon; contrast across
+        # columns = stripe survival
+        outs[taps] = im[18:24].mean(axis=(0, 2))
+    c_tri = outs[0].std()
+    c_ewa = outs[4].std()
+    assert c_ewa > 1.2 * c_tri, (c_ewa, c_tri)
+
+
 def test_perlin_noise_texture():
     """Perlin-fbm texture (libcore noise.cpp role): band-limited, smooth,
     deterministic, zero-mean at the noise level; the texture lerps
