@@ -858,3 +858,278 @@ def _sweep_slim8(rows_ref, scr_ref, oxv, oyv, ozv, dxv, dyv, dzv,
 
     _, _, _, bt, bi, bu, bv, nit = jax.lax.while_loop(cond, body, state0)
     return bt, bi, bu, bv, nit
+
+
+# --- lane traversal: per-lane node pointers via in-vreg dynamic gathers -----
+#
+# Mosaic lowers jnp.take_along_axis(tab, idx, axis=1) on an (8, 128) vreg to
+# a per-sublane dynamic_gather: out[s, l] = tab[s, idx[s, l]], measured ~1
+# cycle/vreg (scripts/probe_gather2.py: 11 gathers + adds = 22 ns/iter).
+# That primitive turns the union sweep on its head: cut the preorder node
+# stream into PAGES of 128 slim nodes, keep each node component as one
+# 128-lane row, and give EVERY LANE its own node pointer. Each sublane
+# holds the tables of ONE page (its lanes' minimum pending page) in 11
+# vregs; a step gathers each lane's node data by its local index and
+# advances all in-page lanes at once — up to 1024 node visits per ~120
+# cycles, vs 8 for the slim8 union sweep. Monotone skip-link pointers make
+# the per-sublane page sequence monotone too, so pages load forward only.
+# This is the TPU replacement for the reference's per-ray recursive kd-tree
+# descent (skdtree.cpp:112): the "stack" is the threaded layout, the
+# "cache" is the per-sublane page register file.
+
+PAGE = 128          # nodes per page
+PCOMP = 16          # rows per page (11 components padded to 2 f32 tiles)
+LSTRIP = 10         # traversal steps per page reload
+
+
+def pack_pages(bvh, p0, e1, e2) -> np.ndarray:
+    """(n_pages*PCOMP, 128) float32 page-planar rows from a leaf_size=1 BVH.
+
+    Row p*PCOMP+c holds component c of page p's 128 nodes:
+      c 0..2  internal: bbox lo      | leaf: tri p0
+      c 3..5  internal: bbox hi      | leaf: e1
+      c 6..8  leaf: e2 (zero on internal nodes)
+      c 9     skip link (global node id, exact float32 below 2^24)
+      c 10    tri id (>= 0) or -1 for internal
+    """
+    N = len(bvh.lo)
+    counts = np.where(bvh.prim_first >= 0, bvh.prim_count, 0)
+    assert counts.max() <= 1, "lane layout requires a leaf_size=1 BVH"
+    assert N < (1 << 24) and len(p0) < (1 << 24)
+    n_pages = -(-N // PAGE)
+    comp = np.zeros((PCOMP, n_pages * PAGE), np.float32)
+    # padding slots past N must be inert: skip straight to the retire
+    # sentinel and read as internal (tid -1), else a retired lane whose
+    # pointer aliases into the last page's padding gets resurrected
+    comp[9, :] = float(N)
+    comp[10, :] = -1.0
+    inner = counts == 0
+    leaf = ~inner
+    tri = np.zeros(N, np.int64)
+    tri[leaf] = bvh.prim_order[bvh.prim_first[leaf]]
+    idx = np.arange(N)
+    for c in range(3):
+        comp[c, idx[inner]] = bvh.lo[inner, c]
+        comp[3 + c, idx[inner]] = bvh.hi[inner, c]
+        comp[c, idx[leaf]] = p0[tri[leaf], c]
+        comp[3 + c, idx[leaf]] = e1[tri[leaf], c]
+        comp[6 + c, idx[leaf]] = e2[tri[leaf], c]
+    comp[9, idx] = bvh.skip.astype(np.float32)
+    comp[10, idx] = np.where(leaf, tri, -1).astype(np.float32)
+    # interleave to page-planar rows: page p rows [p*PCOMP, (p+1)*PCOMP)
+    out = np.zeros((n_pages * PCOMP, PAGE), np.float32)
+    for p in range(n_pages):
+        out[p * PCOMP:p * PCOMP + 11] = comp[:11, p * PAGE:(p + 1) * PAGE]
+    return out
+
+
+def _sweep_lane(pages_ref, scr_ref, n_nodes, oxv, oyv, ozv, dxv, dyv, dzv,
+                inx, iny, inz, tmin, node0, bt, bi, bu, bv,
+                any_hit=False, strip=LSTRIP):
+    """Per-lane paged traversal. ``pages_ref``: (n_pages*PCOMP, 128) table;
+    ``scr_ref``: (BS, 1) int32 VMEM scratch for the vector->scalar
+    round-trip of the per-sublane page ids. ``n_nodes``: real node count
+    (pointers retire at >= n_nodes)."""
+    NP = pages_ref.shape[0] // PCOMP
+    Nn = n_nodes
+    BIG = jnp.int32(NP + 1)
+
+    state0 = (jnp.min(node0), node0, bt, bi, bu, bv,
+              jnp.zeros((), jnp.int32))
+
+    def cond(st):
+        return st[0] < Nn
+
+    def body(st):
+        _, node, bt, bi, bu, bv, nit = st
+        pg = jnp.where(node < Nn, node >> 7, BIG)
+        p8 = jnp.min(pg, axis=1, keepdims=True)          # (BS, 1)
+        scr_ref[:, :] = p8
+        base8 = p8 * PAGE
+
+        tabs = []
+        rows = []
+        for j in range(BS):
+            pj = jnp.minimum(scr_ref[j, 0], NP - 1) * PCOMP
+            rows.append([pages_ref[pj + c, :] for c in range(11)])
+        for c in range(11):
+            tabs.append(jnp.stack([rows[j][c] for j in range(BS)], axis=0))
+
+        for _t in range(strip):
+            local = node - base8
+            # node < Nn guards retired lanes whose sentinel Nn aliases into
+            # the last page (Nn is rarely a multiple of PAGE)
+            act = (local >= 0) & (local < PAGE) & (node < Nn)
+            li = jnp.clip(local, 0, PAGE - 1)
+            g0 = jnp.take_along_axis(tabs[0], li, axis=1)
+            g1 = jnp.take_along_axis(tabs[1], li, axis=1)
+            g2 = jnp.take_along_axis(tabs[2], li, axis=1)
+            g3 = jnp.take_along_axis(tabs[3], li, axis=1)
+            g4 = jnp.take_along_axis(tabs[4], li, axis=1)
+            g5 = jnp.take_along_axis(tabs[5], li, axis=1)
+            g6 = jnp.take_along_axis(tabs[6], li, axis=1)
+            g7 = jnp.take_along_axis(tabs[7], li, axis=1)
+            g8 = jnp.take_along_axis(tabs[8], li, axis=1)
+            skip = jnp.take_along_axis(tabs[9], li, axis=1).astype(jnp.int32)
+            tid = jnp.take_along_axis(tabs[10], li, axis=1).astype(jnp.int32)
+            is_leaf = tid >= 0
+
+            # internal interpretation: slab test on lo=(g0..2), hi=(g3..5)
+            t0x = (g0 - oxv) * inx
+            t1x = (g3 - oxv) * inx
+            t0y = (g1 - oyv) * iny
+            t1y = (g4 - oyv) * iny
+            t0z = (g2 - ozv) * inz
+            t1z = (g5 - ozv) * inz
+            tnear = jnp.maximum(
+                jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+                jnp.maximum(jnp.minimum(t0z, t1z), tmin),
+            )
+            tfar = jnp.minimum(
+                jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+                jnp.minimum(jnp.maximum(t0z, t1z), bt),
+            )
+            hit_box = act & (tnear <= tfar)
+
+            # leaf interpretation: Moller-Trumbore on p0=(g0..2), e1=(g3..5),
+            # e2=(g6..8)
+            pvx = dyv * g8 - dzv * g7
+            pvy = dzv * g6 - dxv * g8
+            pvz = dxv * g7 - dyv * g6
+            det = g3 * pvx + g4 * pvy + g5 * pvz
+            ok = jnp.abs(det) > 1e-12
+            invd = 1.0 / jnp.where(ok, det, 1.0)
+            tvx, tvy, tvz = oxv - g0, oyv - g1, ozv - g2
+            uu = (tvx * pvx + tvy * pvy + tvz * pvz) * invd
+            qx = tvy * g5 - tvz * g4
+            qy = tvz * g3 - tvx * g5
+            qz = tvx * g4 - tvy * g3
+            vv = (dxv * qx + dyv * qy + dzv * qz) * invd
+            tt = (g6 * qx + g7 * qy + g8 * qz) * invd
+            h = (act & is_leaf & ok & (uu >= 0) & (vv >= 0)
+                 & (uu + vv <= 1) & (tt > tmin) & (tt < bt))
+            bt = jnp.where(h, tt, bt)
+            bi = jnp.where(h, tid, bi)
+            bu = jnp.where(h, uu, bu)
+            bv = jnp.where(h, vv, bv)
+
+            descend = hit_box & jnp.logical_not(is_leaf)
+            nxt = jnp.where(descend, node + 1, skip)
+            node = jnp.where(act, nxt, node)
+            if any_hit:
+                node = jnp.where(bi >= 0, Nn, node)
+
+        return (jnp.min(node), node, bt, bi, bu, bv, nit + 1)
+
+    _, _, bt, bi, bu, bv, nit = jax.lax.while_loop(cond, body, state0)
+    return bt, bi, bu, bv, nit
+
+
+@partial(jax.jit, static_argnames=("n_nodes", "interpret", "any_hit",
+                                  "strip", "debug_counts"))
+def bvh_traverse_lane_packed(pages, n_nodes, o, d, t_min, t_max,
+                             interpret=False, any_hit=False, strip=LSTRIP,
+                             debug_counts=False):
+    """Per-lane paged traversal of rays (R, 3) against page-planar rows.
+
+    Returns (hit, t, tri_idx (original ids), u, v). With ``any_hit`` lanes
+    retire on their first hit (boolean occlusion semantics)."""
+    R = o.shape[0]
+    Rp = -(-R // BLOCK) * BLOCK
+    grid = Rp // BLOCK
+
+    def plane(x, fill, dtype=jnp.float32):
+        x = jnp.broadcast_to(jnp.asarray(x, dtype), (R,))
+        x = jnp.pad(x, (0, Rp - R), constant_values=fill)
+        return x.reshape(grid, BS, LANES)
+
+    rays = [
+        plane(o[:, 0], 0.0), plane(o[:, 1], 0.0), plane(o[:, 2], 0.0),
+        plane(d[:, 0], 1.0), plane(d[:, 1], 0.0), plane(d[:, 2], 0.0),
+        plane(t_min, 0.0), plane(t_max, -1.0),
+    ]
+
+    ray_spec = pl.BlockSpec((1, BS, LANES), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    tab_spec = pl.BlockSpec(pages.shape, lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def kern(pages_r, *rest):
+        ins = [r[0] for r in rest[:8]]
+        scr = rest[-1]
+        outs = rest[8:-1]
+        oxv, oyv, ozv, dxv, dyv, dzv, tmin, tmaxv = ins
+        inx, iny, inz = _safe_inv_v(dxv), _safe_inv_v(dyv), _safe_inv_v(dzv)
+        # dead lanes (t_max <= t_min) start retired
+        node0 = jnp.where(tmaxv > tmin, 0, n_nodes)
+        bt, bi, bu, bv, nit = _sweep_lane(
+            pages_r, scr, n_nodes, oxv, oyv, ozv, dxv, dyv, dzv,
+            inx, iny, inz, tmin, node0, tmaxv,
+            jnp.full((BS, LANES), -1, jnp.int32),
+            jnp.zeros((BS, LANES), jnp.float32),
+            jnp.zeros((BS, LANES), jnp.float32),
+            any_hit=any_hit, strip=strip,
+        )
+        outs[0][0] = bt
+        outs[1][0] = bi
+        outs[2][0] = bu
+        outs[3][0] = bv
+        if debug_counts:
+            outs[4][0] = jnp.full((BS, LANES), nit, jnp.int32)
+
+    n_out = 5 if debug_counts else 4
+    out = pl.pallas_call(
+        kern,
+        grid=(grid,),
+        in_specs=[tab_spec] + [ray_spec] * 8,
+        out_specs=[ray_spec] * n_out,
+        out_shape=[
+            jax.ShapeDtypeStruct((grid, BS, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((grid, BS, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((grid, BS, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((grid, BS, LANES), jnp.float32),
+        ] + [jax.ShapeDtypeStruct((grid, BS, LANES), jnp.int32)] * (
+            1 if debug_counts else 0),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024,
+        ),
+        scratch_shapes=[pltpu.VMEM((BS, 1), jnp.int32)],
+        interpret=interpret,
+    )(pages, *rays)
+
+    t, idx, u, v = (x.reshape(Rp)[:R] for x in out[:4])
+    hitm = idx >= 0
+    res = (hitm, jnp.where(hitm, t, jnp.inf), idx, u, v)
+    if debug_counts:
+        return res + (out[4].reshape(Rp)[:R],)
+    return res
+
+
+@partial(jax.jit, static_argnames=("n_nodes", "sort", "any_hit", "strip"))
+def bvh_traverse_lane(pages, n_nodes, o, d, t_min, t_max,
+                      scene_lo, scene_hi, sort=True, any_hit=False,
+                      strip=LSTRIP):
+    """Lane traversal with optional coherence sort (sort -> traverse ->
+    unsort). Sorting packs rays whose first pages coincide into the same
+    sublanes, raising per-step lane occupancy."""
+    if not sort:
+        return bvh_traverse_lane_packed(pages, n_nodes, o, d, t_min, t_max,
+                                        any_hit=any_hit, strip=strip)
+    R = o.shape[0]
+    t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (R,))
+    t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (R,))
+    key = ray_sort_keys(o, d, scene_lo, scene_hi)
+    # dead lanes pool at the tail, where whole blocks retire instantly
+    key = jnp.where(t_max <= t_min, jnp.uint32(0xFFFFFFFF), key)
+    r = jax.lax.sort(
+        (key, o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
+         t_min, t_max, jnp.arange(R, dtype=jnp.int32)),
+        num_keys=1,
+    )
+    res = bvh_traverse_lane_packed(
+        pages, n_nodes, jnp.stack(r[1:4], -1), jnp.stack(r[4:7], -1),
+        r[7], r[8], any_hit=any_hit, strip=strip,
+    )
+    rr = jax.lax.sort((r[9],) + tuple(res[1:]), num_keys=1)
+    hitm = rr[2] >= 0
+    return (hitm, rr[1], rr[2], rr[3], rr[4])

@@ -168,19 +168,21 @@ def li(scene, static, cfg: IntegratorConfig, o, d, seed, pixel, sample,
         # ray-cone MIP footprint, primary hits only (the reference also
         # filters only through the camera ray's differentials)
         fp_uv = None
+        duv_minor = None
         duv_major = None
         if pixel_spread is not None and static.has_textures:
             if static.ewa_taps > 1:
-                fp, duv = scene_mod.uv_footprint_aniso(
+                dmn, dmj = scene_mod.uv_footprint_aniso(
                     scene, its, pixel_spread)
-                fp_uv = jnp.where(first, fp, 0.0)
-                duv_major = jnp.where(first[..., None], duv, 0.0)
+                duv_minor = jnp.where(first[..., None], dmn, 0.0)
+                duv_major = jnp.where(first[..., None], dmj, 0.0)
             else:
                 fp_uv = jnp.where(
                     first, scene_mod.uv_footprint(scene, its, pixel_spread),
                     0.0
                 )
         bl = scene_mod.bsdf_locals(scene, its, static, fp_uv=fp_uv,
+                                   duv_minor=duv_minor,
                                    duv_major=duv_major)
         nst = scene_mod.bsdf_nested(scene, its, static)
 

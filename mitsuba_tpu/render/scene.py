@@ -494,7 +494,7 @@ def uv_footprint(scene: Scene, its: Interaction, spread):
 
 
 def uv_footprint_aniso(scene: Scene, its: Interaction, spread):
-    """Anisotropic ray-cone footprint: (fp_minor_uv (R,), duv_major (R, 2)).
+    """Anisotropic ray-cone footprint: (duv_minor (R, 2), duv_major (R, 2)).
 
     The EWA half of mipmap.h:861 — a ray cone of diameter t*spread hits the
     surface as an ellipse: minor axis = cone diameter (perpendicular to the
@@ -539,13 +539,13 @@ def uv_footprint_aniso(scene: Scene, its: Interaction, spread):
         return a[..., None] * duv1 + b[..., None] * duv2
 
     tri_lane = its.valid & (its.prim_id >= 0) & (its.prim_id < T)
-    fp_minor = jnp.where(tri_lane, m.length(to_uv(minor_w)), 0.0)
+    duv_minor = jnp.where(tri_lane[..., None], to_uv(minor_w), 0.0)
     duv_major = jnp.where(tri_lane[..., None], to_uv(major_w), 0.0)
-    return fp_minor, duv_major
+    return duv_minor, duv_major
 
 
 def eval_albedo(scene: Scene, its: Interaction, static: SceneStatic = None,
-                fp_uv=None, duv_major=None):
+                fp_uv=None, duv_minor=None, duv_major=None):
     """Diffuse reflectance with texture lookup (Texture::eval path)."""
     mid = jnp.maximum(its.mat_id, 0)
     base = scene.materials.albedo[mid]
@@ -562,12 +562,13 @@ def eval_albedo(scene: Scene, its: Interaction, static: SceneStatic = None,
     taps = static.ewa_taps if static is not None else 0
     return eval_texture(scene.textures, tex_id, its.uv, base,
                         bary=its.bary, prim=prim, fp_uv=fp_uv, p=its.p,
-                        duv_major=duv_major, ewa_taps=taps)
+                        duv_minor=duv_minor, duv_major=duv_major,
+                        ewa_taps=taps)
 
 
 def bsdf_locals(scene: Scene, its: Interaction,
                 static: SceneStatic = None, fp_uv=None,
-                duv_major=None) -> bsdf_mod.BsdfLocals:
+                duv_minor=None, duv_major=None) -> bsdf_mod.BsdfLocals:
     opacity = None
     blend = None
     if static is None or static.has_textures:
@@ -585,6 +586,7 @@ def bsdf_locals(scene: Scene, its: Interaction,
     return bsdf_mod.gather_locals(
         scene.materials, its.mat_id,
         albedo_override=eval_albedo(scene, its, static, fp_uv=fp_uv,
+                                    duv_minor=duv_minor,
                                     duv_major=duv_major),
         opacity_override=opacity, blend_override=blend,
     )

@@ -71,36 +71,47 @@ class TextureTable(NamedTuple):
 
 def eval_texture(tt: TextureTable, tex_id, uv, default,
                  bary=None, prim=None, lod=None, fp_uv=None, p=None,
-                 duv_major=None, ewa_taps=0):
+                 duv_minor=None, duv_major=None, ewa_taps=0):
     """Evaluate textures for a batch: tex_id (R,) int32 (-1 -> default),
     uv (R, 2), default (R, 3). Optional: bary (R, 2) triangle barycentrics
     + prim (R,) triangle ids (wireframe/vertexcolors/curvature), lod (R,)
     MIP level (trilinear; None -> finest), fp_uv (R,) ray-cone footprint
     in uv units from which the MIP LOD is derived per texture size
-    (mipmap.h:861 trilinear role). With ``duv_major`` (R, 2) — the uv-space
-    major footprint axis — and ``ewa_taps`` > 1, bitmap lookups average
-    ewa_taps trilinear taps spread along the major axis while the LOD
-    follows the minor axis (mipmap.h evalEWA's anisotropic role, realized
-    as fixed unrolled taps — the TPU-friendly form of hardware aniso
-    filtering). Returns (R, 3)."""
+    (mipmap.h:861 trilinear role). With ``duv_minor``/``duv_major`` (R, 2)
+    — the uv-space footprint ellipse axes — and ``ewa_taps`` > 1, bitmap
+    lookups average ewa_taps trilinear taps spread along the major axis
+    while the MIP LOD follows the minor axis, with the ellipse eccentricity
+    capped at 2*taps (each trilinear tap covers ~2x its footprint, so taps
+    spaced major/(2*taps) apart still overlap — the reference's
+    mipmap.h:861 evalEWA caps eccentricity at maxAnisotropy the same way,
+    enlarging only the minor axis). Realized as fixed unrolled taps — the
+    TPU-friendly form of hardware aniso filtering. Note the taps execute at
+    every bounce even though the integrators zero duv_* after the primary
+    hit (N-x gather cost; batched lanes cannot branch). Returns (R, 3)."""
     tid = jnp.maximum(tex_id, 0)
     ttype = tt.type[tid]
     uv_t = uv * tt.uv_scale[tid] + tt.uv_offset[tid]
 
-    if lod is None and fp_uv is not None:
+    aniso = duv_minor is not None and duv_major is not None and ewa_taps > 1
+    if lod is None and (fp_uv is not None or aniso):
         # footprint in texel units at the base level -> fractional level;
         # uv_scale stretches the footprint in texture space too
         bi_fp = jnp.maximum(tt.bitmap_idx[tid], 0)
-        size = jnp.maximum(tt.sizes[bi_fp, 0], tt.sizes[bi_fp, 1])
-        s_mag = jnp.max(jnp.abs(tt.uv_scale[tid]), axis=-1)
-        texels = fp_uv * s_mag * size.astype(jnp.float32)
-        if duv_major is not None and ewa_taps > 1:
-            # anisotropic: N taps cover the major axis, so the per-tap
-            # footprint (-> LOD) is max(minor, major/taps) — anisotropy
-            # beyond the tap count degrades to blur, never to aliasing
-            maj = (jnp.linalg.norm(duv_major * tt.uv_scale[tid], axis=-1)
-                   * size.astype(jnp.float32))
-            texels = jnp.maximum(texels, maj / ewa_taps)
+        wh = jnp.stack([tt.sizes[bi_fp, 1], tt.sizes[bi_fp, 0]],
+                       axis=-1).astype(jnp.float32)      # (R, 2) [W, H]
+        if aniso:
+            # per-component texel-space axis lengths (projected through
+            # uv_scale and the texture's own W/H, not max-size scalars)
+            sc = tt.uv_scale[tid] * wh
+            mn = jnp.linalg.norm(duv_minor * sc, axis=-1)
+            mj = jnp.linalg.norm(duv_major * sc, axis=-1)
+            # eccentricity cap: the taps cover the major axis, so the
+            # per-tap footprint (-> LOD) is max(minor, major/(2*taps))
+            texels = jnp.maximum(mn, mj / (2 * ewa_taps))
+        else:
+            size = jnp.max(wh, axis=-1)
+            s_mag = jnp.max(jnp.abs(tt.uv_scale[tid]), axis=-1)
+            texels = fp_uv * s_mag * size
         lod = jnp.where(texels > 1.0,
                         jnp.log2(jnp.maximum(texels, 1.0)), 0.0)
 
@@ -137,7 +148,7 @@ def eval_texture(tt: TextureTable, tex_id, uv, default,
     # bitmap.cpp: bilinear (or trilinear MIP) lookup with repeat wrapping
     if lod is None:
         v_bitmap = _bitmap_bilinear_level(tt, tid, uv_t, None)
-    elif duv_major is not None and ewa_taps > 1:
+    elif aniso:
         # anisotropic: average taps along the uv-space major axis (scaled
         # into texture space like uv itself); LOD already tracks the minor
         # axis, so elongated footprints stay sharp across and filtered along

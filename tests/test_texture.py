@@ -146,16 +146,21 @@ def test_ewa_anisotropic_keeps_cross_detail():
     major axis) preserves them."""
     from mitsuba_tpu.render.integrators.common import PATH
 
-    # stripes vary along u only (u maps to world x = across the view)
+    # stripes vary along u only (u maps to world x = across the view);
+    # uv_scale=16 puts the band where the TRILINEAR geometric-mean LOD
+    # over-blurs (fp >= stripe width) while the minor-axis footprint stays
+    # sub-stripe — the regime anisotropic filtering exists for. (The
+    # original round-2 geometry had no headroom: trilinear already kept
+    # the stripes at ~94% of max contrast there.)
     n = 256
     yy, xx = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
-    img = ((xx // 8 % 2).astype(np.float32))[..., None] * np.ones(3, np.float32)
+    img = ((xx // 4 % 2).astype(np.float32))[..., None] * np.ones(3, np.float32)
 
     outs = {}
-    for taps in (0, 4):
+    for taps in (0, 8):
         b = SceneBuilder()
         b.ewa_taps = taps
-        t = b.add_texture_bitmap(img)
+        t = b.add_texture_bitmap(img, uv_scale=(16.0, 16.0))
         mat = b.add_material(albedo=(1, 1, 1), albedo_tex=t)
         V = [[-100, 0, -100], [100, 0, -100], [100, 0, 100], [-100, 0, 100]]
         F = [[0, 2, 1], [0, 3, 2]]
@@ -171,12 +176,12 @@ def test_ewa_anisotropic_keeps_cross_detail():
         st = api.RenderSettings(width=32, height=32, spp=4, spp_per_pass=4,
                                 filter_type=0, mip=True)
         im = np.asarray(api.render(sc, stt, sens, cfg, st))
-        # moderately-minified band below the horizon; contrast across
-        # columns = stripe survival
-        outs[taps] = im[18:24].mean(axis=(0, 2))
-    c_tri = outs[0].std()
-    c_ewa = outs[4].std()
-    assert c_ewa > 1.2 * c_tri, (c_ewa, c_tri)
+        # per-row column contrast in the minified band below the horizon
+        # (stripe survival), averaged over rows
+        outs[taps] = im[20:26].mean(axis=2).std(axis=1).mean()
+    c_tri = outs[0]
+    c_ewa = outs[8]
+    assert c_ewa > 1.5 * c_tri + 0.02, (c_ewa, c_tri)
 
 
 def test_perlin_noise_texture():
