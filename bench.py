@@ -155,6 +155,41 @@ def time_scene(scene, static, cam_eye, cam_at, fov, W, H, spp_per_pass,
     )
 
 
+def time_train_step(scene, static, W, H, spp=2, iters=4):
+    """fwd+bwd ms/spp: jitted Adam step (render + reverse sweep + update)."""
+    import optax  # noqa: F401  (train.py dependency)
+    from mitsuba_tpu.core.transform import Transform
+    from mitsuba_tpu.parallel import train as train_mod
+    from mitsuba_tpu.render import api, sensor as sensor_mod
+    from mitsuba_tpu.render.integrators.common import IntegratorConfig, PATH
+
+    cam = Transform.look_at([0.5, 0.5, -1.39], [0.5, 0.5, 0.5], [0, 1, 0])
+    sens = sensor_mod.make_perspective(cam, 39.0, W, H)
+    cfg = IntegratorConfig(type=PATH, max_depth=3)
+    st = api.RenderSettings(width=W, height=H, spp=spp, spp_per_pass=spp,
+                            filter_type=0)
+    target = api.render(scene, static, sens, cfg, st)
+    spec = train_mod.ParamSpec(albedo=True, emitter_radiance=True)
+    params = train_mod.split_params(scene, spec)
+    step, init = train_mod.make_train_step(
+        scene, static, sens, cfg, st, spec, n_samples=spp)
+    opt_state = init(params)
+    params, opt_state, loss = step(params, opt_state, target,
+                                   jnp.asarray(0, jnp.int32))
+    jax.block_until_ready(loss)
+    t0 = time.perf_counter()
+    for i in range(iters):
+        params, opt_state, loss = step(params, opt_state, target,
+                                       jnp.asarray(i + 1, jnp.int32))
+    jax.block_until_ready(loss)
+    dt = time.perf_counter() - t0
+    return dict(
+        fwd_bwd_ms_per_spp=round(dt / (iters * spp) * 1e3, 2),
+        spp_timed=iters * spp,
+        final_loss=round(float(loss), 6),
+    )
+
+
 def main():
     from mitsuba_tpu.render import shapes
     from mitsuba_tpu.render.scene import SceneBuilder
@@ -177,6 +212,11 @@ def main():
         W, H, spp_per_pass=4, n_passes=8,
     )
 
+    # --- backward pass (BASELINE primary metric #2: fwd+bwd ms/spp) ---
+    # one Adam step on the Cornell box: full forward render + reverse-mode
+    # sweep + parameter update w.r.t. albedo + emitter radiance
+    res_bwd = time_train_step(scene_c, static_c, W, H)
+
     base_path = os.path.join(os.path.dirname(__file__), "bench_baseline.json")
     base = {}
     if os.path.exists(base_path):
@@ -195,6 +235,7 @@ def main():
             "cornell_512_depth5": res_cornell,
             "cornell_vs_r1_baseline": round(
                 res_cornell["rays_per_sec"] / cornell_base, 4),
+            "cornell_fwd_bwd": res_bwd,
             "n_tris_bunny_scene": int(static_b.n_tris),
             "device": str(jax.devices()[0]),
         },

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from ..core import math as m
@@ -26,6 +27,7 @@ ENVMAP = 3
 DIRECTIONAL = 4
 SPOT = 5
 COLLIMATED = 6
+SPHERE = 7   # analytic sphere area emitter, cone-sampled NEE
 
 
 class EmitterTable(NamedTuple):
@@ -43,11 +45,17 @@ class EmitterTable(NamedTuple):
     etri_tri: jnp.ndarray    # (ET,) int32 scene triangle index
     etri_cdf: jnp.ndarray    # (ET,) float32: emitter_idx + local_cdf
     env_index: jnp.ndarray   # () int32: index of env emitter (-1 if none)
-    # envmap payload (lat-long); minimal when unused
-    env_map: jnp.ndarray     # (He, We, 3)
-    env_cdf_rows: jnp.ndarray  # (He,) marginal cdf over rows (lum * sin(theta))
-    env_cdf_cond: jnp.ndarray  # (He, We) conditional cdf along each row
-    env_pdf: jnp.ndarray     # (He, We) solid-angle pdf of env sampling
+    # envmap payload (lat-long); minimal when unused. Flat layouts: the
+    # radiance+pdf table is (He*We, 4) so one row gather serves both eval
+    # and the MIS pdf (multi-dim / 1-D gathers hit XLA:TPU's slow path)
+    env_map: jnp.ndarray     # (He*We, 4): radiance rgb + solid-angle pdf
+    # Walker alias table over all texels: importance sampling is ONE
+    # uniform -> one (N, 2) row gather (prob, alias-id) -> one more row
+    # gather for pdf+radiance. CDF searchsorted/bisection lower to
+    # serializing while-loops on TPU (profiled at ~70% of a full render
+    # pass); the alias method is O(1) and branch-free.
+    env_alias: jnp.ndarray   # (He*We, 2): accept prob, alias texel id
+    env_hw: jnp.ndarray      # (2,) int32 (He, We)
     env_to_world: jnp.ndarray  # (3, 3) rotation
     env_scale: jnp.ndarray   # () brightness scale
 
@@ -58,10 +66,10 @@ class EmitterTable(NamedTuple):
     @staticmethod
     def empty_env_fields():
         return dict(
-            env_map=jnp.zeros((1, 1, 3)),
-            env_cdf_rows=jnp.ones((1,)),
-            env_cdf_cond=jnp.ones((1, 1)),
-            env_pdf=jnp.full((1, 1), warp.INV_FOURPI),
+            env_map=jnp.concatenate(
+                [jnp.zeros((1, 3)), jnp.full((1, 1), warp.INV_FOURPI)], -1),
+            env_alias=jnp.asarray([[1.0, 0.0]]),
+            env_hw=jnp.ones((2,), jnp.int32),
             env_to_world=jnp.eye(3),
             env_scale=jnp.ones(()),
         )
@@ -128,6 +136,50 @@ def sample_direct(scene, static, p_ref, u3):
         radiance = jnp.where(sel[..., None], em.radiance[e_idx], radiance)
         pdf_sa = jnp.where(sel, pdf_a, pdf_sa)
         valid = jnp.where(sel, ok & (pdf_a > 0), valid)
+
+    if SPHERE in static.emitter_types:
+        # solid-angle cone sampling toward an analytic sphere emitter
+        # (sphere.cpp sampleDirect): strictly lower variance than sampling
+        # the sphere's surface area, since every direction in the cone hits
+        from ..core.frame import Frame
+
+        c_s = em.position[e_idx]
+        r_s = em.spot_cos[e_idx, 0]        # radius stored in spot_cos[0]
+        to_c = c_s - p_ref
+        d2c = m.squared_length(to_c)
+        dc = jnp.sqrt(jnp.maximum(d2c, 1e-20))
+        axis = to_c / dc[..., None]
+        outside = dc > r_s * (1.0 + 1e-5)
+        sin2_max = jnp.clip(m.safe_div(r_s * r_s, d2c), 0.0, 1.0)
+        cos_max = jnp.sqrt(jnp.maximum(1.0 - sin2_max, 0.0))
+        # outside: uniform cone; inside: uniform sphere of directions
+        cos_t = jnp.where(outside, 1.0 - u0 * (1.0 - cos_max), 1.0 - 2.0 * u0)
+        sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
+        phi_t = 2.0 * jnp.pi * u1
+        local_d = jnp.stack(
+            [sin_t * jnp.cos(phi_t), sin_t * jnp.sin(phi_t), cos_t], axis=-1)
+        d_s = Frame.from_normal(axis).to_world(local_d)
+        # near intersection distance along d_s (clamped to tangency)
+        proj = dc * cos_t
+        under = r_s * r_s - (d2c - proj * proj)
+        dist_s = jnp.where(
+            outside,
+            proj - jnp.sqrt(jnp.maximum(under, 0.0)),
+            proj + jnp.sqrt(jnp.maximum(under, 0.0)),
+        )
+        # 1 - cos_max via sin2/(1+cos) for numerical stability at small cones
+        one_minus = m.safe_div(sin2_max, 1.0 + cos_max)
+        pdf_s = jnp.where(
+            outside,
+            m.safe_div(jnp.ones(()), 2.0 * jnp.pi * jnp.maximum(one_minus, 1e-12)),
+            warp.INV_FOURPI,
+        )
+        sel = etype == SPHERE
+        d = jnp.where(sel[..., None], d_s, d)
+        dist = jnp.where(sel, dist_s, dist)
+        radiance = jnp.where(sel[..., None], em.radiance[e_idx], radiance)
+        pdf_sa = jnp.where(sel, pdf_s, pdf_sa)
+        valid = jnp.where(sel, dist_s > 1e-6, valid)
 
     if POINT in static.emitter_types:
         to_p = em.position[e_idx] - p_ref
@@ -277,6 +329,29 @@ def sample_ray(scene, static, u4, u2):
         is_area = jnp.where(sel, True, is_area)
         valid = jnp.where(sel, wo_local[..., 2] > 0, valid)
 
+    if SPHERE in static.emitter_types:
+        from ..core.frame import Frame
+
+        c_s = em.position[e_idx]
+        r_s = em.spot_cos[e_idx, 0]
+        n_s = warp.square_to_uniform_sphere(jnp.stack([u0, u1], axis=-1))
+        y_s = c_s + r_s[..., None] * n_s
+        area_s = 4.0 * jnp.pi * r_s * r_s
+        p_A = m.safe_div(epmf, jnp.maximum(area_s, 1e-12))
+        wo_local = warp.square_to_cosine_hemisphere(u2)
+        d_sp = Frame.from_normal(n_s).to_world(wo_local)
+        Le = em.radiance[e_idx]
+        w_s = Le * (jnp.pi / jnp.maximum(p_A, 1e-20))[..., None]
+        sel = etype == SPHERE
+        o = jnp.where(sel[..., None], y_s, o)
+        d = jnp.where(sel[..., None], d_sp, d)
+        weight = jnp.where(sel[..., None], w_s, weight)
+        n_out = jnp.where(sel[..., None], n_s, n_out)
+        pdf_area = jnp.where(sel, p_A, pdf_area)
+        radiance = jnp.where(sel[..., None], Le, radiance)
+        is_area = jnp.where(sel, True, is_area)
+        valid = jnp.where(sel, wo_local[..., 2] > 0, valid)
+
     if POINT in static.emitter_types:
         d_p = warp.square_to_uniform_sphere(u2)
         w_p = em.radiance[e_idx] * (4.0 * jnp.pi / epmf)[..., None]
@@ -365,6 +440,26 @@ def sample_ray(scene, static, u4, u2):
     )
 
 
+def pdf_direct_sphere(em: EmitterTable, e_idx, p_ref, c_s, r_s):
+    """Solid-angle pdf that sphere-cone NEE (sample_direct SPHERE branch)
+    would generate a direction from p_ref hitting emitter e_idx's sphere —
+    the BSDF-side MIS counterweight (sphere.cpp pdfDirect role). Includes
+    the emitter-selection pmf."""
+    to_c = c_s - p_ref
+    d2c = m.squared_length(to_c)
+    dc = jnp.sqrt(jnp.maximum(d2c, 1e-20))
+    outside = dc > r_s * (1.0 + 1e-5)
+    sin2_max = jnp.clip(m.safe_div(r_s * r_s, d2c), 0.0, 1.0)
+    cos_max = jnp.sqrt(jnp.maximum(1.0 - sin2_max, 0.0))
+    one_minus = m.safe_div(sin2_max, 1.0 + cos_max)
+    pdf = jnp.where(
+        outside,
+        m.safe_div(jnp.ones(()), 2.0 * jnp.pi * jnp.maximum(one_minus, 1e-12)),
+        warp.INV_FOURPI,
+    )
+    return pdf * em.pmf[e_idx]
+
+
 def pdf_direct_env(scene, static, d_world):
     """Solid-angle pdf that NEE would generate escaping direction d
     toward the environment emitter (for BSDF-side MIS)."""
@@ -377,6 +472,30 @@ def pdf_direct_env(scene, static, d_world):
     if ENVMAP in static.emitter_types:
         pdf = jnp.where(etype == ENVMAP, _envmap_pdf(em, d_world), pdf)
     return jnp.where(has_env, pdf * pmf, 0.0)
+
+
+def eval_env_pdf(scene, static, d_world):
+    """Fused Scene::evalEnvironment + NEE pdf toward the environment
+    (one flat gather serves both; the separate calls each paid their own
+    gather at every bounce)."""
+    em = scene.emitters
+    has_env = em.env_index >= 0
+    e_idx = jnp.maximum(em.env_index, 0)
+    pmf = em.pmf[e_idx]
+    etype = em.type[e_idx]
+    shape = d_world.shape[:-1]
+    rad = jnp.broadcast_to(
+        jnp.where(etype == CONSTANT, em.radiance[e_idx], jnp.zeros((3,))),
+        shape + (3,))
+    pdf = jnp.where(etype == CONSTANT,
+                    jnp.full(shape, warp.INV_FOURPI), 0.0)
+    if ENVMAP in static.emitter_types:
+        r_e, p_e = _envmap_eval_pdf(em, d_world)
+        is_env = etype == ENVMAP
+        rad = jnp.where(is_env, r_e, rad)
+        pdf = jnp.where(is_env, p_e, pdf)
+    return (jnp.where(has_env, rad, 0.0),
+            jnp.where(has_env, pdf * pmf, 0.0))
 
 
 def eval_env(scene, static, d_world):
@@ -404,45 +523,63 @@ def _dir_to_uv(em: EmitterTable, d_world):
     return u, v
 
 
+def _env_fetch(em: EmitterTable, y, x):
+    """(radiance (R, 3), pdf (R,)) via ONE flat row gather."""
+    W = em.env_hw[1]
+    rp = em.env_map[y * W + x]
+    return rp[..., :3] * em.env_scale, rp[..., 3]
+
+
 def _envmap_eval(em: EmitterTable, d_world):
-    H, W = em.env_map.shape[0], em.env_map.shape[1]
+    H, W = em.env_hw[0], em.env_hw[1]
     u, v = _dir_to_uv(em, d_world)
     x = jnp.clip((u * W).astype(jnp.int32), 0, W - 1)
     y = jnp.clip((v * H).astype(jnp.int32), 0, H - 1)
-    return em.env_map[y, x] * em.env_scale
+    return _env_fetch(em, y, x)[0]
 
 
 def _envmap_pdf(em: EmitterTable, d_world):
-    H, W = em.env_map.shape[0], em.env_map.shape[1]
+    H, W = em.env_hw[0], em.env_hw[1]
     u, v = _dir_to_uv(em, d_world)
     x = jnp.clip((u * W).astype(jnp.int32), 0, W - 1)
     y = jnp.clip((v * H).astype(jnp.int32), 0, H - 1)
-    return em.env_pdf[y, x]
+    return _env_fetch(em, y, x)[1]
+
+
+def _envmap_eval_pdf(em: EmitterTable, d_world):
+    """Fused radiance + pdf lookup (one gather for both)."""
+    H, W = em.env_hw[0], em.env_hw[1]
+    u, v = _dir_to_uv(em, d_world)
+    x = jnp.clip((u * W).astype(jnp.int32), 0, W - 1)
+    y = jnp.clip((v * H).astype(jnp.int32), 0, H - 1)
+    return _env_fetch(em, y, x)
 
 
 def _envmap_sample(em: EmitterTable, u2):
-    H, W = em.env_map.shape[0], em.env_map.shape[1]
-    row = jnp.clip(
-        jnp.searchsorted(em.env_cdf_rows, u2[..., 0], side="right"), 0, H - 1
+    """O(1) texel pick via the Walker alias table, then uniform jitter
+    within the texel (envmap.cpp importance sampling, alias-table form)."""
+    H, W = em.env_hw[0], em.env_hw[1]
+    N = em.env_alias.shape[0]
+    u0 = jnp.clip(u2[..., 0], 0.0, 1.0 - 1e-7)
+    scaled = u0 * N
+    i0 = jnp.clip(scaled.astype(jnp.int32), 0, N - 1)
+    u_re = scaled - i0.astype(jnp.float32)          # recycled uniform
+    pa = em.env_alias[i0]
+    take = u_re < pa[..., 0]
+    idx = jnp.where(take, i0, pa[..., 1].astype(jnp.int32))
+    # second recycle: position within the accept/reject split
+    u_j = jnp.where(
+        take,
+        u_re / jnp.maximum(pa[..., 0], 1e-12),
+        (u_re - pa[..., 0]) / jnp.maximum(1.0 - pa[..., 0], 1e-12),
     )
-    lo = jnp.where(row > 0, em.env_cdf_rows[jnp.maximum(row - 1, 0)], 0.0)
-    pr = jnp.maximum(em.env_cdf_rows[row] - lo, 1e-12)
-    u_re = jnp.clip((u2[..., 0] - lo) / pr, 0.0, 1.0 - 1e-7)
-    col_cdf = em.env_cdf_cond[row]
-    col = jnp.clip(_rowwise_search(col_cdf, u2[..., 1]), 0, W - 1)
-    # jitter within the texel for continuous directions
-    uu = (col.astype(jnp.float32) + u_re) / W
-    vv = (row.astype(jnp.float32) + 0.5) / H
+    row = idx // W
+    col = idx - row * W
+    uu = (col.astype(jnp.float32) + jnp.clip(u_j, 0.0, 1.0 - 1e-6)) / W
+    vv = (row.astype(jnp.float32) + jnp.clip(u2[..., 1], 0.0, 1.0 - 1e-6)) / H
     theta = vv * jnp.pi
     phi = uu * 2.0 * jnp.pi
     d_local = m.spherical_direction(theta, phi)
     d_world = d_local @ em.env_to_world.T
-    pdf = em.env_pdf[row, col]
-    rad = em.env_map[row, col] * em.env_scale
+    rad, pdf = _env_fetch(em, row, col)
     return d_world, pdf, rad
-
-
-def _rowwise_search(cdf_rows, u):
-    """searchsorted along the last axis of a per-lane gathered cdf row."""
-    # cdf_rows: (R, W); u: (R,)
-    return jnp.sum((cdf_rows < u[..., None]).astype(jnp.int32), axis=-1)

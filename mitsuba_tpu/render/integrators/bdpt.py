@@ -17,14 +17,24 @@ Conventions (this module):
   hit the emitter; t=0 means the light subpath splats to the camera
   (accumulated into a shared light image, bdpt_wr.cpp).
 
-MIS weights use the balance-heuristic pdf-ratio walk over per-vertex
-forward/reverse area pdfs (libbidir Path::misWeight, path.cpp), with delta
-vertices' ratios passed through and zero pdfs remapped to one. The
-reverse pdfs of the four junction-adjacent vertices are recomputed per
-strategy; all others are filled during the random walk.
+MIS weights use the POWER-heuristic (beta=2) pdf-ratio walk over
+per-vertex forward/reverse area pdfs (libbidir Path::misWeight,
+path.cpp:266 squares every alternative's ratio), with delta vertices'
+ratios passed through and zero pdfs remapped to one. The reverse pdfs of
+the four junction-adjacent vertices are recomputed per strategy; all
+others are filled during the random walk.
 
-Scope: area emitters (delta emitters render through the unidirectional
-family); pinhole perspective/thinlens sensors for the t=0 splats.
+Media (vertex.cpp EMediumInteraction role): when the scene carries
+media, every walk segment first samples a medium scattering distance;
+scatter events become MEDIUM vertices (zero normal, phase-function
+extension and junction pdfs, volume-measure density conversion with
+cos := 1), transmissive boundaries swap the per-lane medium, and every
+connection weights its visibility segment by the attenuated
+transmittance through null-boundary chains.
+
+Scope: area + analytic-sphere emitters (delta emitters render through
+the unidirectional family); pinhole perspective/thinlens sensors for the
+t=0 splats; subpaths start in the camera medium.
 """
 from __future__ import annotations
 
@@ -38,6 +48,8 @@ from ...core import rng as rng_mod
 from ...core.frame import Frame
 from .. import bsdf as bsdf_mod
 from .. import emitter as em_mod
+from .. import medium as medium_mod
+from .. import phase as phase_mod
 from .. import scene as scene_mod
 from .. import sensor as sensor_mod
 from ..records import Interaction
@@ -69,6 +81,8 @@ class Subpath(NamedTuple):
     conn: jnp.ndarray      # (K, R) bool: has a smooth lobe (connectible)
     light_pdf_a: jnp.ndarray  # (K, R) emitter-origin area pdf (0 if none)
     valid: jnp.ndarray     # (K, R)
+    is_med: jnp.ndarray    # (K, R) bool: vertex is a medium scatter event
+    med_id: jnp.ndarray    # (K, R) int32 medium at a medium vertex (-1 else)
 
     @staticmethod
     def empty(K, R):
@@ -81,18 +95,24 @@ class Subpath(NamedTuple):
             pdf_fwd=jnp.zeros((K, R)), pdf_rev=jnp.zeros((K, R)),
             delta=jnp.zeros((K, R), bool), conn=jnp.zeros((K, R), bool),
             light_pdf_a=jnp.zeros((K, R)), valid=jnp.zeros((K, R), bool),
+            is_med=jnp.zeros((K, R), bool),
+            med_id=jnp.full((K, R), -1, jnp.int32),
         )
 
 
 def _to_area(pdf_sa, dir_unit, dist2, n_target):
-    """Solid-angle pdf at the source -> area pdf at the target vertex."""
-    cos_t = jnp.abs(m.dot(n_target, -dir_unit))
+    """Solid-angle pdf at the source -> area pdf at the target vertex.
+    Medium vertices carry a ZERO normal and convert with cos := 1 (volume
+    density, vertex.cpp EMediumInteraction / pbrt ConvertDensity)."""
+    is_vol = m.squared_length(n_target) < 0.5
+    cos_t = jnp.where(is_vol, 1.0, jnp.abs(m.dot(n_target, -dir_unit)))
     return pdf_sa * m.safe_div(cos_t, jnp.maximum(dist2, 1e-12))
 
 
 def _vertex_locals(scene, static, sp: Subpath, k: int):
     """(bsdf locals, nested, frame) for vertex row k."""
-    ns_safe = jnp.where(sp.valid[k][..., None], sp.ns[k],
+    ok_n = sp.valid[k] & (m.squared_length(sp.ns[k]) > 0.5)
+    ns_safe = jnp.where(ok_n[..., None], sp.ns[k],
                         jnp.asarray([0.0, 0.0, 1.0]))
     frame = Frame.from_normal(ns_safe)
     its = Interaction(
@@ -109,6 +129,53 @@ def _vertex_locals(scene, static, sp: Subpath, k: int):
     return bl, nst, frame
 
 
+def _phase_args(scene, static, med_id):
+    """(ptype array, PhaseParams, active phase types) for medium ids."""
+    med = scene.media
+    mid = jnp.maximum(med_id, 0)
+    params = phase_mod.PhaseParams(
+        g=med.phase_g[mid], g2=med.phase_g2[mid], w2=med.phase_w2[mid],
+        ks=med.phase_ks[mid], exponent=med.phase_exp[mid],
+        sigma=med.phase_sigma[mid], axis=med.phase_axis[mid],
+    )
+    ptypes = static.phase_types if static.phase_types else (0,)
+    return med.phase_type[mid], params, ptypes
+
+
+def _vertex_f(scene, static, sp: Subpath, k: int, loc, wi_world, wo_world):
+    """Scattering value at vertex row k: BSDF eval (cos-included, surface)
+    or phase value (medium) toward world direction wo (vertex.cpp eval
+    dispatch over ESurfaceInteraction/EMediumInteraction)."""
+    bl, nst, frame = loc
+    wi_l = frame.to_local(wi_world)
+    wo_l = frame.to_local(wo_world)
+    f = bsdf_mod.eval(bl, wi_l, wo_l, active_types=static.bsdf_types,
+                      nested=nst)
+    if static.medium_types:
+        pt, pp, ptys = _phase_args(scene, static, sp.med_id[k])
+        ph, _ = phase_mod.eval_pdf(pt, pp, wi_world, wo_world,
+                                   active_types=ptys)
+        f = jnp.where(sp.is_med[k][..., None], ph[..., None], f)
+    return f
+
+
+def _vertex_pdf_toward(scene, static, sp: Subpath, k: int, loc, wi_world,
+                       wo_world, dist2, n_target):
+    """Area pdf of sampling ``wo_world`` at vertex row k (BSDF-or-phase
+    directional pdf, converted to the target's measure)."""
+    bl, nst, frame = loc
+    wi_l = frame.to_local(wi_world)
+    wo_l = frame.to_local(wo_world)
+    pdf_sa = bsdf_mod.pdf(bl, wi_l, wo_l, active_types=static.bsdf_types,
+                          nested=nst)
+    if static.medium_types:
+        pt, pp, ptys = _phase_args(scene, static, sp.med_id[k])
+        _, pdf_ph = phase_mod.eval_pdf(pt, pp, wi_world, wo_world,
+                                       active_types=ptys)
+        pdf_sa = jnp.where(sp.is_med[k], pdf_ph, pdf_sa)
+    return _to_area(pdf_sa, wo_world, dist2, n_target)
+
+
 class _W(NamedTuple):
     sp: Subpath
     o: jnp.ndarray
@@ -117,57 +184,99 @@ class _W(NamedTuple):
     pdf_dir: jnp.ndarray
     seg_delta: jnp.ndarray
     active: jnp.ndarray
+    medium: jnp.ndarray
 
 
 def random_walk(scene, static, sp: Subpath, o0, d0, beta0, pdf_dir0,
                 offset: int, n_steps: int, seed, lane, sample,
-                dim_base: int, importance_mode: bool):
+                dim_base: int, importance_mode: bool, medium0=None):
     """Fill rows offset..offset+n_steps-1 of ``sp`` by walking from
     (o0, d0). Fills pdf_rev of row j-1 when extending row j (libbidir
-    Path::randomWalk, path.cpp)."""
+    Path::randomWalk, path.cpp). With media present (static.medium_types),
+    each segment first samples a medium scattering distance; a scatter
+    event records a MEDIUM vertex (vertex.cpp EMediumInteraction role:
+    zero normal, phase-function extension, volume-density pdfs) and
+    transmissive surface crossings swap the per-lane medium."""
     types = static.bsdf_types
     delta_types = tuple(t for t in types if t in bsdf_mod.DELTA_TYPES)
+    mtypes = static.medium_types
+    R = o0.shape[0]
+    if medium0 is None:
+        medium0 = jnp.full(R, -1, jnp.int32)
 
     st = _W(sp=sp, o=o0, d=d0, beta=beta0, pdf_dir=pdf_dir0,
-            seg_delta=jnp.zeros(o0.shape[0], bool),
-            active=jnp.max(beta0, -1) > 0)
+            seg_delta=jnp.zeros(R, bool),
+            active=jnp.max(beta0, -1) > 0,
+            medium=medium0)
 
     def bounce(i, w: _W):
         j = i + offset
         its = scene_mod.ray_intersect(
             scene, static, w.o, w.d, 1e-4, jnp.inf, active=w.active
         )
-        active = w.active & its.valid
+        hit_surf = w.active & its.valid
+
+        # --- medium distance sampling along the segment (volpath.cpp:104)
+        if mtypes:
+            t_seg = jnp.where(its.valid, its.t, jnp.inf)
+            ms = medium_mod.sample_distance(
+                scene.media, mtypes, w.medium, w.o, w.d, t_seg,
+                seed, lane, sample, dim_base + i * DIMS_PER_BOUNCE + 1,
+                w.active)
+            in_scatter = w.active & ms.sampled
+            beta_here = w.beta * ms.weight
+            active = in_scatter | hit_surf
+        else:
+            in_scatter = jnp.zeros(R, bool)
+            beta_here = w.beta
+            active = hit_surf
+
         dist2 = jnp.where(jnp.isfinite(its.t), its.t * its.t, 1.0)
+        if mtypes:
+            dist2 = jnp.where(in_scatter, ms.t * ms.t, dist2)
+        zero3 = jnp.zeros((R, 3))
+        v_p = jnp.where(in_scatter[..., None], ms.p, its.p) if mtypes else its.p
+        v_gn = jnp.where(in_scatter[..., None], zero3, its.gn) if mtypes else its.gn
+        v_ns = (jnp.where(in_scatter[..., None], zero3, its.sh_frame.n)
+                if mtypes else its.sh_frame.n)
+        v_mat = jnp.where(in_scatter, -1, its.mat_id) if mtypes else its.mat_id
+        v_em = jnp.where(in_scatter, -1, its.emitter_id) if mtypes else its.emitter_id
+        v_nee = jnp.where(in_scatter, 0.0, its.nee_pdf_area) if mtypes else its.nee_pdf_area
+
         pdf_a = jnp.where(
             w.seg_delta, w.pdf_dir,
-            _to_area(w.pdf_dir, w.d, dist2, its.gn),
+            _to_area(w.pdf_dir, w.d, dist2, v_gn),
         )
         bl = scene_mod.bsdf_locals(scene, its, static)
         nst = scene_mod.bsdf_nested(scene, its, static)
         mat_is_delta = jnp.isin(
             bl.type, jnp.asarray(delta_types or (-99,), jnp.int32)
         )
+        v_conn = jnp.where(in_scatter, True, ~mat_is_delta) if mtypes \
+            else ~mat_is_delta
         s = w.sp
         upd = lambda a, v: jax.lax.dynamic_update_index_in_dim(a, v, j, 0)
         s = s._replace(
-            p=upd(s.p, its.p),
-            gn=upd(s.gn, its.gn),
-            ns=upd(s.ns, its.sh_frame.n),
+            p=upd(s.p, v_p),
+            gn=upd(s.gn, v_gn),
+            ns=upd(s.ns, v_ns),
             uv=upd(s.uv, its.uv),
-            mat_id=upd(s.mat_id, its.mat_id),
-            emitter_id=upd(s.emitter_id, its.emitter_id),
+            mat_id=upd(s.mat_id, v_mat),
+            emitter_id=upd(s.emitter_id, v_em),
             wi_world=upd(s.wi_world, -w.d),
-            beta=upd(s.beta, jnp.where(active[..., None], w.beta, 0.0)),
+            beta=upd(s.beta, jnp.where(active[..., None], beta_here, 0.0)),
             pdf_fwd=upd(s.pdf_fwd, jnp.where(active, pdf_a, 0.0)),
             delta=upd(s.delta, w.seg_delta & active),
-            conn=upd(s.conn, ~mat_is_delta & active),
+            conn=upd(s.conn, v_conn & active),
             light_pdf_a=upd(s.light_pdf_a,
-                            jnp.where(active, its.nee_pdf_area, 0.0)),
+                            jnp.where(active, v_nee, 0.0)),
             valid=upd(s.valid, active),
+            is_med=upd(s.is_med, in_scatter),
+            med_id=upd(s.med_id,
+                       jnp.where(in_scatter, w.medium, -1)),
         )
 
-        # extension sample
+        # extension sample: BSDF at surfaces, phase at medium vertices
         u_b = rng_mod.uniform4(seed, lane, sample,
                                dim_base + i * DIMS_PER_BOUNCE)
         bs = bsdf_mod.sample(bl, its.wi, u_b[..., 0], u_b[..., 1:3],
@@ -177,19 +286,42 @@ def random_walk(scene, static, sp: Subpath, o0, d0, beta0, pdf_dir0,
             gn_local = its.sh_frame.to_local(its.gn)
             corr = _shading_normal_correction(its.wi, bs.wo, gn_local)
             w_ext = w_ext * (corr * bs.eta * bs.eta)[..., None]
-        beta_new = w.beta * w_ext
-        d_new = m.normalize(its.sh_frame.to_world(bs.wo))
-        o_new = ray_offset(its.p, its.gn, d_new)
+        d_surf = m.normalize(its.sh_frame.to_world(bs.wo))
+        pdf_ext = bs.pdf
+        ext_delta = bs.is_delta
+        if mtypes:
+            pt, pp, ptys = _phase_args(scene, static, w.medium)
+            u_ph = rng_mod.uniform2(
+                seed, lane, sample, dim_base + i * DIMS_PER_BOUNCE + 2)
+            wo_ph, w_ph, pdf_ph = phase_mod.sample(
+                pt, pp, -w.d, u_ph, active_types=ptys)
+            d_new = jnp.where(in_scatter[..., None], wo_ph, d_surf)
+            w_ext = jnp.where(in_scatter[..., None], w_ph[..., None], w_ext)
+            pdf_ext = jnp.where(in_scatter, pdf_ph, pdf_ext)
+            ext_delta = jnp.where(in_scatter, False, ext_delta)
+            o_new = jnp.where(in_scatter[..., None], ms.p,
+                              ray_offset(its.p, its.gn, d_surf))
+        else:
+            d_new = d_surf
+            o_new = ray_offset(its.p, its.gn, d_new)
+        beta_new = beta_here * w_ext
 
         # reverse pdf of the previous row: density of sampling the arrival
         # direction back toward row j-1 given the new outgoing direction
         pdf_rev_sa = bsdf_mod.pdf(bl, bs.wo, its.wi, active_types=types,
                                   nested=nst)
+        if mtypes:
+            _, pdf_ph_rev = phase_mod.eval_pdf(pt, pp, d_new, -w.d,
+                                               active_types=ptys)
+            pdf_rev_sa = jnp.where(in_scatter, pdf_ph_rev, pdf_rev_sa)
         jm1 = jnp.maximum(j - 1, 0)
         prev_gn = jax.lax.dynamic_index_in_dim(s.gn, jm1, 0, keepdims=False)
+        prev_vol = m.squared_length(prev_gn) < 0.5
         rev_a = jnp.where(
-            bs.is_delta, pdf_rev_sa,
-            pdf_rev_sa * m.safe_div(jnp.abs(m.dot(prev_gn, w.d)), dist2),
+            ext_delta, pdf_rev_sa,
+            pdf_rev_sa * m.safe_div(
+                jnp.where(prev_vol, 1.0, jnp.abs(m.dot(prev_gn, w.d))),
+                dist2),
         )
         prev_rev = jax.lax.dynamic_index_in_dim(s.pdf_rev, jm1, 0,
                                                 keepdims=False)
@@ -197,26 +329,43 @@ def random_walk(scene, static, sp: Subpath, o0, d0, beta0, pdf_dir0,
             s.pdf_rev,
             jnp.where(active & (j > 0), rev_a, prev_rev), jm1, 0))
 
-        alive = active & (bs.pdf > 0) & (jnp.max(beta_new, -1) > 0)
+        # medium swap on transmissive surface crossings (volpath.cpp)
+        if mtypes:
+            crossed = hit_surf & ~in_scatter & (
+                m.dot(d_surf, its.gn) * m.dot(w.d, its.gn) > 0)
+            entering = crossed & (m.dot(d_surf, its.gn) < 0)
+            mid_c = jnp.maximum(its.mat_id, 0)
+            interior = scene.materials.interior_medium[mid_c]
+            exterior = scene.materials.exterior_medium[mid_c]
+            medium_new = jnp.where(
+                crossed, jnp.where(entering, interior, exterior), w.medium)
+        else:
+            medium_new = w.medium
+
+        alive = active & (pdf_ext > 0) & (jnp.max(beta_new, -1) > 0)
         return _W(sp=s, o=o_new,
                   d=jnp.where(alive[..., None], d_new, w.d),
                   beta=jnp.where(alive[..., None], beta_new, w.beta),
-                  pdf_dir=jnp.where(alive, bs.pdf, w.pdf_dir),
-                  seg_delta=bs.is_delta & alive, active=alive)
+                  pdf_dir=jnp.where(alive, pdf_ext, w.pdf_dir),
+                  seg_delta=ext_delta & alive, active=alive,
+                  medium=medium_new)
 
     out = jax.lax.fori_loop(0, n_steps, bounce, st)
     return out.sp
 
 
 def generate_subpaths(scene, static, cfg: IntegratorConfig, sensor, o, d,
-                      seed, lane, sample, K_eye: int, K_light: int):
+                      seed, lane, sample, K_eye: int, K_light: int,
+                      camera_medium: int = -1):
     """Eye subpath z_1..z_{K_eye} from camera rays; light subpath
     y_0..y_{K_light-1} from an emitter sample (row 0 = emitter vertex)."""
     R = o.shape[0]
     pdf_cam = sensor_mod.pdf_ray_direction(sensor, d)
+    cam_med = jnp.full(R, int(camera_medium), jnp.int32)
     eye = random_walk(
         scene, static, Subpath.empty(K_eye, R), o, d, jnp.ones((R, 3)),
         pdf_cam, 0, K_eye, seed, lane, sample, DIM_EYE_BASE, False,
+        medium0=cam_med,
     )
 
     u_e = rng_mod.uniform4(seed, lane, sample, DIM_LIGHT_EMIT)
@@ -248,6 +397,7 @@ def generate_subpaths(scene, static, cfg: IntegratorConfig, sensor, o, d,
             scene, static, light, ray_offset(ers.o, ers.n, ers.d), ers.d,
             jnp.where(q_valid[..., None], beta_y1, 0.0), pdf_dir0,
             1, K_light - 1, seed, lane, sample, DIM_LIGHT_BASE, True,
+            medium0=jnp.full(o.shape[0], int(camera_medium), jnp.int32),
         )
     return eye, light
 
@@ -296,16 +446,39 @@ def _entries(sp: Subpath, n: int, subs: dict):
     return out
 
 
-def _visible(scene, static, p_a, gn_a, p_b, gn_b, active):
-    """Mutual visibility between surface points a and b."""
+def _visible(scene, static, p_a, gn_a, p_b, gn_b, active,
+             medium_a=None, seed=None, lane=None, sample=None, dim0=0):
+    """Mutual transmittance between points a and b: (tr (R,3), d_unit,
+    dist). Without media this is the boolean shadow ray; with media the
+    segment accumulates transmittance through null-boundary chains
+    (Scene::evalTransmittance, scene.cpp:854-898). Medium vertices carry
+    zero normals, so the shadow origin offset degenerates to p_a there."""
     d = p_b - p_a
     dist = m.length(d)
     d_unit = d / jnp.maximum(dist, 1e-12)[..., None]
     o = ray_offset(p_a, gn_a, d_unit)
+    if static.medium_types and medium_a is not None:
+        tr = scene_mod.attenuated_transmittance(
+            scene, static, o, d_unit, dist * (1.0 - 1e-3), medium_a,
+            seed, lane, sample, dim0, active=active)
+        return tr, d_unit, dist
     occ = scene_mod.occluded(
         scene, static, o, d_unit, 0.0, dist * (1.0 - 1e-3), active=active
     )
-    return ~occ, d_unit, dist
+    return (~occ)[..., None].astype(jnp.float32), d_unit, dist
+
+
+def _vertex_medium_toward(scene, static, sp: Subpath, k: int, d_out):
+    """Medium id on the d_out side of vertex row k: the vertex's own
+    medium for volume vertices, the hit material's interior/exterior for
+    surface vertices (shape.h interior/exteriorMedium)."""
+    if not static.medium_types:
+        return None
+    mid_c = jnp.maximum(sp.mat_id[k], 0)
+    interior = scene.materials.interior_medium[mid_c]
+    exterior = scene.materials.exterior_medium[mid_c]
+    side = jnp.where(m.dot(d_out, sp.gn[k]) < 0, interior, exterior)
+    return jnp.where(sp.is_med[k], sp.med_id[k], side)
 
 
 def _bsdf_pdf_toward(bl, nst, types, frame, wi_world, wo_world,
@@ -319,7 +492,7 @@ def _bsdf_pdf_toward(bl, nst, types, frame, wi_world, wo_world,
 
 
 def li_and_splats(scene, static, cfg: IntegratorConfig, sensor, o, d,
-                  seed, lane, sample):
+                  seed, lane, sample, camera_medium: int = -1):
     """All BDPT strategies for one eye + one light subpath per lane.
 
     Returns (L (R,3) for the lane's own pixel, splat_uv (S,R,2),
@@ -330,7 +503,8 @@ def li_and_splats(scene, static, cfg: IntegratorConfig, sensor, o, d,
     R = o.shape[0]
     types = static.bsdf_types
     eye, light = generate_subpaths(scene, static, cfg, sensor, o, d, seed,
-                                   lane, sample, K_eye, K_light)
+                                   lane, sample, K_eye, K_light,
+                                   camera_medium=camera_medium)
     cam_pos = sensor.position
 
     # cached per-row locals
@@ -342,12 +516,19 @@ def li_and_splats(scene, static, cfg: IntegratorConfig, sensor, o, d,
     splat_uvs = []
     splat_vals = []
 
+    import os as _os
+    _smax = int(_os.environ.get("MTS_BDPT_SMAX", "99"))
+    _t0 = _os.environ.get("MTS_BDPT_T0", "1") != "0"
     for t in range(0, K_eye + 1):
         for s in range(0, K_light + 1):
             n_seg = s + t
             if n_seg < 1 or n_seg > N:
                 continue
             if t == 0 and s == 0:
+                continue
+            if s > _smax:
+                continue
+            if t == 0 and not _t0:
                 continue
 
             if s == 0:
@@ -389,17 +570,29 @@ def li_and_splats(scene, static, cfg: IntegratorConfig, sensor, o, d,
                     bl, nst, frame = light_loc[ys]
                     wi_l = frame.to_local(light.wi_world[ys])
                     wo_l = frame.to_local(ss.d)
-                    f = bsdf_mod.eval(bl, wi_l, wo_l, active_types=types,
-                                      nested=nst)
+                    f = _vertex_f(scene, static, light, ys, light_loc[ys],
+                                  light.wi_world[ys], ss.d)
                     gn_l = frame.to_local(light.gn[ys])
                     corr = _shading_normal_correction(wi_l, wo_l, gn_l)
+                    if static.medium_types:
+                        corr = jnp.where(light.is_med[ys], 1.0, corr)
                     val = light.beta[ys] * f * corr[..., None]
                 ok = ok & ss.valid & (jnp.max(val, -1) > 0)
                 o_sh = ray_offset(light.p[ys], light.gn[ys], ss.d)
-                vis = ~scene_mod.occluded(
-                    scene, static, o_sh, ss.d, 0.0, ss.dist * (1 - 1e-3),
-                    active=ok)
-                ok = ok & vis
+                if static.medium_types:
+                    med_c = _vertex_medium_toward(scene, static, light, ys,
+                                                  ss.d)
+                    tr = scene_mod.attenuated_transmittance(
+                        scene, static, o_sh, ss.d, ss.dist * (1 - 1e-3),
+                        med_c, seed, lane, sample,
+                        700 + 8 * (t * (N + 1) + s), active=ok)
+                    ok = ok & (jnp.max(tr, -1) > 0)
+                    val = val * tr
+                else:
+                    vis = ~scene_mod.occluded(
+                        scene, static, o_sh, ss.d, 0.0,
+                        ss.dist * (1 - 1e-3), active=ok)
+                    ok = ok & vis
                 val = jnp.where(ok[..., None], val * ss.imp[..., None], 0.0)
                 # MIS: y_{s-1} re-sampled from the camera; y_{s-2} via the
                 # bsdf at y_{s-1} with wi from the camera
@@ -407,13 +600,12 @@ def li_and_splats(scene, static, cfg: IntegratorConfig, sensor, o, d,
                 pdf_cam = sensor_mod.pdf_ray_direction(sensor, -ss.d)
                 lsubs = {ys: _to_area(pdf_cam, -ss.d, dist2_c, light.gn[ys])}
                 if s >= 2:
-                    bl, nst, frame = light_loc[ys]
                     dvec = light.p[ys - 1] - light.p[ys]
                     dist2 = jnp.maximum(m.squared_length(dvec), 1e-12)
                     d_unit = dvec / jnp.sqrt(dist2)[..., None]
-                    lsubs[ys - 1] = _bsdf_pdf_toward(
-                        bl, nst, types, frame, ss.d, d_unit, dist2,
-                        light.gn[ys - 1])
+                    lsubs[ys - 1] = _vertex_pdf_toward(
+                        scene, static, light, ys, light_loc[ys], ss.d,
+                        d_unit, dist2, light.gn[ys - 1])
                 w = _mis_weight_st(eye, light, t, s, {}, lsubs)
                 splat_uvs.append(jnp.where(ok[..., None], ss.uv, -1.0))
                 splat_vals.append(val * w[..., None])
@@ -422,34 +614,37 @@ def li_and_splats(scene, static, cfg: IntegratorConfig, sensor, o, d,
             # s >= 1, t >= 1: connect z_t with y_{s-1}
             zt = t - 1
             ok = eye.valid[zt] & eye.conn[zt] & light.valid[ys] & light.conn[ys]
-            vis, d_unit, dist = _visible(
+            dvec0 = light.p[ys] - eye.p[zt]
+            d_unit0 = dvec0 / jnp.maximum(m.length(dvec0), 1e-12)[..., None]
+            med_conn = _vertex_medium_toward(scene, static, eye, zt, d_unit0)
+            tr, d_unit, dist = _visible(
                 scene, static, eye.p[zt], eye.gn[zt], light.p[ys],
-                light.gn[ys], ok)
-            ok = ok & vis
+                light.gn[ys], ok, medium_a=med_conn, seed=seed, lane=lane,
+                sample=sample, dim0=500 + 8 * (t * (N + 1) + s))
+            ok = ok & (jnp.max(tr, -1) > 0)
             dist2 = jnp.maximum(dist * dist, 1e-12)
 
-            bl_e, nst_e, fr_e = eye_loc[zt]
-            wi_e = fr_e.to_local(eye.wi_world[zt])
-            wo_e = fr_e.to_local(d_unit)
-            f_e = bsdf_mod.eval(bl_e, wi_e, wo_e, active_types=types,
-                                nested=nst_e)
+            f_e = _vertex_f(scene, static, eye, zt, eye_loc[zt],
+                            eye.wi_world[zt], d_unit)
 
             if s == 1:
                 # y_0 is the emitter vertex: Le toward z_t, front side
                 cos_l = m.dot(light.gn[ys], -d_unit)
                 f_l_over_d2 = m.safe_div(jnp.maximum(cos_l, 0.0), dist2)
                 contrib = eye.beta[zt] * f_e * light.beta[ys] * \
-                    f_l_over_d2[..., None]
+                    f_l_over_d2[..., None] * tr
             else:
                 bl_l, nst_l, fr_l = light_loc[ys]
                 wi_l = fr_l.to_local(light.wi_world[ys])
                 wo_l = fr_l.to_local(-d_unit)
-                f_l = bsdf_mod.eval(bl_l, wi_l, wo_l, active_types=types,
-                                    nested=nst_l)
+                f_l = _vertex_f(scene, static, light, ys, light_loc[ys],
+                                light.wi_world[ys], -d_unit)
                 gn_ll = fr_l.to_local(light.gn[ys])
                 corr = _shading_normal_correction(wi_l, wo_l, gn_ll)
+                if static.medium_types:
+                    corr = jnp.where(light.is_med[ys], 1.0, corr)
                 contrib = eye.beta[zt] * f_e * light.beta[ys] * f_l * \
-                    m.safe_div(corr, dist2)[..., None]
+                    m.safe_div(corr, dist2)[..., None] * tr
             contrib = jnp.where(ok[..., None], contrib, 0.0)
 
             # --- junction rev-pdf substitutions
@@ -460,31 +655,29 @@ def li_and_splats(scene, static, cfg: IntegratorConfig, sensor, o, d,
                 pdf_dir = jnp.maximum(m.dot(light.gn[ys], -d_unit), 0.0) * INV_PI
                 esubs[zt] = _to_area(pdf_dir, -d_unit, dist2, eye.gn[zt])
             else:
-                bl_l, nst_l, fr_l = light_loc[ys]
-                esubs[zt] = _bsdf_pdf_toward(
-                    bl_l, nst_l, types, fr_l, light.wi_world[ys], -d_unit,
-                    dist2, eye.gn[zt])
+                esubs[zt] = _vertex_pdf_toward(
+                    scene, static, light, ys, light_loc[ys],
+                    light.wi_world[ys], -d_unit, dist2, eye.gn[zt])
             # z_{t-1} from z_t (wi now from the light side)
             if t >= 2:
                 dvec_p = eye.p[zt - 1] - eye.p[zt]
                 dist2_p = jnp.maximum(m.squared_length(dvec_p), 1e-12)
                 dp_unit = dvec_p / jnp.sqrt(dist2_p)[..., None]
-                esubs[zt - 1] = _bsdf_pdf_toward(
-                    bl_e, nst_e, types, fr_e, d_unit, dp_unit, dist2_p,
-                    eye.gn[zt - 1])
+                esubs[zt - 1] = _vertex_pdf_toward(
+                    scene, static, eye, zt, eye_loc[zt], d_unit, dp_unit,
+                    dist2_p, eye.gn[zt - 1])
             # y_{s-1} from z_t
-            lsubs[ys] = _bsdf_pdf_toward(
-                bl_e, nst_e, types, fr_e, eye.wi_world[zt], d_unit, dist2,
-                light.gn[ys])
+            lsubs[ys] = _vertex_pdf_toward(
+                scene, static, eye, zt, eye_loc[zt], eye.wi_world[zt],
+                d_unit, dist2, light.gn[ys])
             # y_{s-2} from y_{s-1} (wi now from the eye side)
             if s >= 2:
-                bl_l, nst_l, fr_l = light_loc[ys]
                 dvec_q = light.p[ys - 1] - light.p[ys]
                 dist2_q = jnp.maximum(m.squared_length(dvec_q), 1e-12)
                 dq_unit = dvec_q / jnp.sqrt(dist2_q)[..., None]
-                lsubs[ys - 1] = _bsdf_pdf_toward(
-                    bl_l, nst_l, types, fr_l, -d_unit, dq_unit, dist2_q,
-                    light.gn[ys - 1])
+                lsubs[ys - 1] = _vertex_pdf_toward(
+                    scene, static, light, ys, light_loc[ys], -d_unit,
+                    dq_unit, dist2_q, light.gn[ys - 1])
 
             w = _mis_weight_st(eye, light, t, s, esubs, lsubs)
             L = L + contrib * w[..., None]

@@ -74,7 +74,7 @@ def li(scene, static, cfg: IntegratorConfig, o, d, seed, pixel, sample):
         its2 = scene_mod.ray_intersect(scene, static, o2, d2, 0.0, jnp.inf, active=ok)
         # hit an emitter?
         Le2 = scene_mod.emitted_radiance(scene, static, its2, d2)
-        lum_pdf = scene_mod.pdf_emitter_hit(scene, its2, o2)
+        lum_pdf = scene_mod.pdf_emitter_hit(scene, its2, o2, static)
         # or escaped to the environment
         if static.has_env:
             env_L = em_mod.eval_env(scene, static, d2)

@@ -165,8 +165,15 @@ def _slot_masks_bdpt(nslots):
     mchain = eye_slots | light_slots
     small_table = jnp.stack(
         [jnp.zeros_like(lens), lens, caustic, mchain])       # [4, S]
+    # the bidirectional mutation regenerates the WHOLE path pair (the
+    # mut_bidir.cpp role of discarding and regrowing a path segment, taken
+    # to the full-path case) — this is also what keeps the chain family
+    # ergodic over image space; light-subpath-only restarts left chains
+    # pinned to their seed pixel (round-2's mlt lost to pssmlt for exactly
+    # this reason: 0.93 acceptance, no image-space mixing)
+    all_slots = jnp.ones_like(lens)
     fresh_table_m = jnp.stack(
-        [light_slots, jnp.zeros_like(lens),
+        [all_slots, jnp.zeros_like(lens),
          jnp.zeros_like(lens), jnp.zeros_like(lens)])        # [4, S]
     return small_table, fresh_table_m
 
@@ -201,13 +208,13 @@ def _eval_state(scene, static, sensor, cfg, width, height, u,
 
 
 def seed_chains(scene, static, sensor, cfg, width, height, seed, n_chains,
-                rounds: int = 4, mlt_mode: bool = False):
+                rounds: int = 4, mlt_mode: bool = False, lane_offset=0):
     """Luminance-proportional chain seeding (the reference draws seeds from
     a luminance CDF over candidate samples, pssmlt_proc.cpp / mlt_proc.cpp);
     here each lane reservoir-samples among `rounds` fresh candidates with
     probability proportional to luminance."""
     nslots = n_slots_bdpt(cfg) if mlt_mode else n_slots(cfg)
-    lane = jnp.arange(n_chains, dtype=jnp.int32)
+    lane = jnp.arange(n_chains, dtype=jnp.int32) + lane_offset
 
     def body(k, carry):
         st, wsum = carry
@@ -247,7 +254,7 @@ def seed_chains(scene, static, sensor, cfg, width, height, seed, n_chains,
 
 def chain_steps(scene, static, sensor, cfg, width, height, seed,
                 st: ChainState, film, step_base, n_steps: int,
-                mlt_mode: bool = False):
+                mlt_mode: bool = False, lane_offset=0):
     """Advance every chain by n_steps mutations, splatting into film.
 
     Splats carry weight C/I per state, expectation-weighted between current
@@ -259,7 +266,7 @@ def chain_steps(scene, static, sensor, cfg, width, height, seed,
     Metropolis-weighted)."""
     R = st.u.shape[0]
     nslots = st.u.shape[1]
-    lane = jnp.arange(R, dtype=jnp.int32)
+    lane = jnp.arange(R, dtype=jnp.int32) + lane_offset
 
     def body(k, carry):
         st, film, acc_sum = carry
@@ -279,8 +286,6 @@ def chain_steps(scene, static, sensor, cfg, width, height, seed,
             mask_f = fresh_m[strat][:, :, None]
             u_prop = jnp.where(mask_s, small_step(st.u, r_mut), st.u)
             u_prop = jnp.where(mask_f, u_fresh, u_prop)
-            restart = (strat == STRAT_BIDIR) & (r_sel[:, 2] < 0.2)
-            u_prop = jnp.where(restart[:, None, None], u_fresh, u_prop)
         else:
             large = r_sel[:, 0] < cfg.p_large
             u_small = small_step(st.u, r_mut)
@@ -322,10 +327,11 @@ def chain_steps(scene, static, sensor, cfg, width, height, seed,
 
 
 def estimate_b(scene, static, sensor, cfg, width, height, seed,
-               n_samples: int, lanes: int = 8192, mlt_mode: bool = False):
+               n_samples: int, lanes: int = 8192, mlt_mode: bool = False,
+               lane_offset=0):
     """Stage-1 normalization: b = E_uniform[I(u)] (pssmlt.cpp:297-311)."""
     nslots = n_slots_bdpt(cfg) if mlt_mode else n_slots(cfg)
-    lane = jnp.arange(lanes, dtype=jnp.int32)
+    lane = jnp.arange(lanes, dtype=jnp.int32) + lane_offset
     rounds = max(1, n_samples // lanes)
 
     def body(k, acc):

@@ -143,8 +143,7 @@ def li(scene, static, cfg: IntegratorConfig, o, d, seed, pixel, sample,
 
         # --- escaped rays: environment emitter with MIS (path.cpp:234-248)
         if static.has_env:
-            env_L = em_mod.eval_env(scene, static, d)
-            lum_pdf = em_mod.pdf_direct_env(scene, static, d)
+            env_L, lum_pdf = em_mod.eval_env_pdf(scene, static, d)
             w = jnp.where(s.prev_delta, 1.0, mis_power(s.prev_pdf, lum_pdf))
             show = active & ~its.valid
             if cfg.hide_emitters:
@@ -155,7 +154,7 @@ def li(scene, static, cfg: IntegratorConfig, o, d, seed, pixel, sample,
 
         # --- emitted radiance at the hit (path.cpp:176-190)
         Le = scene_mod.emitted_radiance(scene, static, its, d)
-        lum_pdf_hit = scene_mod.pdf_emitter_hit(scene, its, o)
+        lum_pdf_hit = scene_mod.pdf_emitter_hit(scene, its, o, static)
         w_hit = jnp.where(s.prev_delta, 1.0, mis_power(s.prev_pdf, lum_pdf_hit))
         show = active & (its.emitter_id >= 0)
         if cfg.hide_emitters:

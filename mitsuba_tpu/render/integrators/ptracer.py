@@ -83,7 +83,8 @@ def trace_pass(scene, static, cfg: IntegratorConfig, sensor, film_data,
     # connection at the emitter vertex itself: L_o = Le toward the camera
     # (direct view of area lights; ptracer.cpp handles this through the
     # ParticleTracer "emitted" event)
-    if em_mod.AREA in static.emitter_types:
+    if (em_mod.AREA in static.emitter_types
+            or em_mod.SPHERE in static.emitter_types):
         ss = sensor_mod.sample_direct(sensor, ers.o)
         cos_c = m.dot(ers.n, ss.d)
         v0 = ers.radiance * m.safe_div(cos_c, ers.pdf_area)[..., None]

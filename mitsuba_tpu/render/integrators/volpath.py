@@ -98,8 +98,7 @@ def li(scene, static, cfg: IntegratorConfig, o, d, seed, pixel, sample,
         surf_hit = on_surface & its.valid
 
         if static.has_env:
-            env_L = em_mod.eval_env(scene, static, d)
-            lum_pdf = em_mod.pdf_direct_env(scene, static, d)
+            env_L, lum_pdf = em_mod.eval_env_pdf(scene, static, d)
             w = jnp.where(s.prev_delta, 1.0, mis_power(s.prev_pdf, lum_pdf))
             show = on_surface & ~its.valid
             if cfg.hide_emitters:
@@ -107,7 +106,7 @@ def li(scene, static, cfg: IntegratorConfig, o, d, seed, pixel, sample,
             L = L + jnp.where(show[..., None], thr * env_L * w[..., None], 0.0)
 
         Le = scene_mod.emitted_radiance(scene, static, its, d)
-        lum_pdf_hit = scene_mod.pdf_emitter_hit(scene, its, s.p_prev)
+        lum_pdf_hit = scene_mod.pdf_emitter_hit(scene, its, s.p_prev, static)
         w_hit = jnp.where(s.prev_delta, 1.0, mis_power(s.prev_pdf, lum_pdf_hit))
         show = surf_hit & (its.emitter_id >= 0)
         if cfg.hide_emitters:

@@ -14,6 +14,7 @@ the lobes a scene actually uses.
 """
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 from typing import NamedTuple, Optional
 
@@ -53,6 +54,17 @@ def _pallas_ok(static) -> bool:
     import jax
 
     return jax.default_backend() == "tpu"
+
+
+# Pallas BVH traversal kernel: "lane" = per-lane paged traversal (each lane
+# advances its own node pointer via in-vreg dynamic gathers), "treelet" =
+# two-level union sweep (round-2 kernel). Overridable for A/B probing.
+BVH_KERNEL = os.environ.get("MTS_BVH_KERNEL", "lane")
+# per-query coherence sort (sort -> traverse -> unsort). XLA rewrites the
+# multi-payload lax.sort into key-sort + payload gathers that profile at
+# ~43 ms each per bounce; the per-lane kernel degrades gracefully on
+# unsorted rays, so the sort is optional.
+BVH_SORT = os.environ.get("MTS_BVH_SORT", "1") != "0"
 
 
 def _pallas_bvh_ok(static) -> bool:
@@ -95,6 +107,7 @@ class Scene(NamedTuple):
     # acceleration
     bvh: DeviceBVH
     bvh_rows: jnp.ndarray     # (N/4, 128) slot-packed slim node rows (pallas)
+    bvh_pages: jnp.ndarray    # (n_pages*16, 128) page-planar rows (lane kernel)
     # treelet cut of the preorder node stream (two-level traversal; K >= 2
     # enables the bounded-sweep fast path for incoherent rays)
     tl_root: jnp.ndarray      # (K,) int32 treelet root rows
@@ -124,6 +137,8 @@ class SceneStatic:
     emitter_types: tuple       # sorted tuple of emitter type tags present
     has_env: bool
     has_textures: bool = True  # any material references a texture slot
+    has_opacity_tex: bool = False  # any material has an opacity texture
+    has_weight_tex: bool = False   # any material has a blend-weight texture
     medium_types: tuple = ()   # medium type tags present (empty = no media)
     phase_types: tuple = ()    # phase function tags present
     nested_bsdf_types: tuple = ()  # bsdf tags reachable via nested_a/nested_b
@@ -131,6 +146,7 @@ class SceneStatic:
     has_sss: bool = False      # any material references a subsurface profile
     has_boundary_media: bool = False  # any material carries an interior/exterior medium
     ewa_taps: int = 0          # >1 enables N-tap anisotropic (EWA) filtering
+    n_bvh_nodes: int = 0       # node count of the slim BVH (lane kernel)
 
 
 # === device queries =======================================================
@@ -152,14 +168,23 @@ def ray_intersect(scene: Scene, static: SceneStatic, o, d, t_min, t_max,
     if T > 0:
         if static.use_bvh:
             if _pallas_bvh_ok(static):
-                from ..ops.pallas_bvh import bvh_traverse_treelets
+                if BVH_KERNEL == "lane":
+                    from ..ops.pallas_bvh import bvh_traverse_lane
 
-                hit_t, tri_t, tri_idx, tri_u, tri_v = bvh_traverse_treelets(
-                    scene.bvh_rows, scene.tl_root, scene.tl_skip,
-                    scene.tl_lo, scene.tl_hi, o, d, t_min, t_max,
-                    scene.aabb_lo, scene.aabb_hi, sort=not presorted,
-                    slim=True,
-                )
+                    hit_t, tri_t, tri_idx, tri_u, tri_v = bvh_traverse_lane(
+                        scene.bvh_pages, static.n_bvh_nodes, o, d,
+                        t_min, t_max, scene.aabb_lo, scene.aabb_hi,
+                        sort=BVH_SORT and not presorted,
+                    )
+                else:
+                    from ..ops.pallas_bvh import bvh_traverse_treelets
+
+                    hit_t, tri_t, tri_idx, tri_u, tri_v = bvh_traverse_treelets(
+                        scene.bvh_rows, scene.tl_root, scene.tl_skip,
+                        scene.tl_lo, scene.tl_hi, o, d, t_min, t_max,
+                        scene.aabb_lo, scene.aabb_hi, sort=not presorted,
+                        slim=True,
+                    )
             else:
                 hit_t, tri_t, tri_idx, tri_u, tri_v = bvh_closest_hit(
                     scene.bvh, o, d, t_min, t_max
@@ -357,14 +382,23 @@ def occluded(scene: Scene, static: SceneStatic, o, d, t_min, t_max,
     if static.n_tris > 0:
         if static.use_bvh:
             if _pallas_bvh_ok(static):
-                from ..ops.pallas_bvh import bvh_traverse_treelets
+                if BVH_KERNEL == "lane":
+                    from ..ops.pallas_bvh import bvh_traverse_lane
 
-                h, _, _, _, _ = bvh_traverse_treelets(
-                    scene.bvh_rows, scene.tl_root, scene.tl_skip,
-                    scene.tl_lo, scene.tl_hi, o, d, t_min, t_max,
-                    scene.aabb_lo, scene.aabb_hi, any_hit=True,
-                    sort=not presorted, slim=True,
-                )
+                    h, _, _, _, _ = bvh_traverse_lane(
+                        scene.bvh_pages, static.n_bvh_nodes, o, d,
+                        t_min, t_max, scene.aabb_lo, scene.aabb_hi,
+                        sort=BVH_SORT and not presorted, any_hit=True,
+                    )
+                else:
+                    from ..ops.pallas_bvh import bvh_traverse_treelets
+
+                    h, _, _, _, _ = bvh_traverse_treelets(
+                        scene.bvh_rows, scene.tl_root, scene.tl_skip,
+                        scene.tl_lo, scene.tl_hi, o, d, t_min, t_max,
+                        scene.aabb_lo, scene.aabb_hi, any_hit=True,
+                        sort=not presorted, slim=True,
+                    )
                 occ = h
             else:
                 occ = bvh_any_hit(scene.bvh, o, d, t_min, t_max)
@@ -571,14 +605,25 @@ def bsdf_locals(scene: Scene, its: Interaction,
                 duv_minor=None, duv_major=None) -> bsdf_mod.BsdfLocals:
     opacity = None
     blend = None
-    if static is None or static.has_textures:
+    # compile-time gated: an eval_texture call costs the FULL bitmap
+    # gather chain for every lane even when all ids are -1, so only scenes
+    # that actually texture opacity/blend pay for it (measured ~90 ms each
+    # per bounce at 262k lanes on v5e)
+    if static is None or (static.has_textures
+                          and getattr(static, "has_opacity_tex", True)):
         from .texture import eval_texture
 
         mid = jnp.maximum(its.mat_id, 0)
         op_tex = scene.materials.opacity_tex[mid]
-        w_tex = scene.materials.weight_tex[mid]
         ones3 = jnp.ones(its.uv.shape[:-1] + (3,))
         opacity = eval_texture(scene.textures, op_tex, its.uv, ones3)[..., 0]
+    if static is None or (static.has_textures
+                          and getattr(static, "has_weight_tex", True)):
+        from .texture import eval_texture
+
+        mid = jnp.maximum(its.mat_id, 0)
+        w_tex = scene.materials.weight_tex[mid]
+        ones3 = jnp.ones(its.uv.shape[:-1] + (3,))
         w_base = jnp.broadcast_to(
             scene.materials.weight[mid][..., None], ones3.shape
         )
@@ -625,16 +670,31 @@ def emitted_radiance(scene: Scene, static: SceneStatic, its: Interaction, d):
     return jnp.where((has & front)[..., None], rad, 0.0)
 
 
-def pdf_emitter_hit(scene: Scene, its: Interaction, ref_p):
+def pdf_emitter_hit(scene: Scene, its: Interaction, ref_p,
+                    static: SceneStatic = None):
     """Solid-angle NEE pdf of the point that a BSDF-sampled ray hit
     (Scene::pdfEmitterDirect, scene.cpp:949) — zero gathers thanks to the
-    per-triangle area pdf carried on the interaction record."""
+    per-triangle area pdf carried on the interaction record. Analytic
+    sphere emitters report the cone-sampling pdf instead (sphere.cpp
+    pdfDirect; sample_direct SPHERE branch)."""
     pdf_area = its.nee_pdf_area
     to_hit = its.p - ref_p
     d2 = m.squared_length(to_hit)
     dist = jnp.sqrt(jnp.maximum(d2, 1e-12))
     cos_l = jnp.abs(m.dot(its.gn, -to_hit / dist[..., None]))
-    return m.safe_div(pdf_area * d2, jnp.maximum(cos_l, 1e-7))
+    pdf = m.safe_div(pdf_area * d2, jnp.maximum(cos_l, 1e-7))
+    if (static is not None and em_mod.SPHERE in static.emitter_types
+            and static.n_spheres > 0):
+        T = scene.tri_p0.shape[0]
+        si = jnp.clip(its.prim_id - T, 0, static.n_spheres - 1)
+        e_sph = scene.sph_emitter[si]
+        is_sph_em = (its.prim_id >= T) & (e_sph >= 0)
+        ei = jnp.maximum(e_sph, 0)
+        pdf_cone = em_mod.pdf_direct_sphere(
+            scene.emitters, ei, ref_p, scene.sph_center[si],
+            scene.sph_radius[si])
+        pdf = jnp.where(is_sph_em, pdf_cone, pdf)
+    return pdf
 
 
 # === host-side builder ====================================================
@@ -991,19 +1051,18 @@ class SceneBuilder:
 
     def add_sphere(self, center, radius, mat: int, emitter_radiance=None) -> None:
         if emitter_radiance is not None:
-            # Area emitters need triangles to participate in the monotone
-            # NEE CDF (render/emitter.py:105-131); an analytic sphere with
-            # tri_count == 0 would make searchsorted land on a DIFFERENT
-            # emitter's triangle while pairing it with this sphere's
-            # radiance (round-1 latent bug). Tessellate instead — same
-            # policy as the XML loader (io/mitsuba_xml.py sphere branch);
-            # reference analog: sphere.cpp sampleDirect cone sampling.
-            from . import shapes as shapes_mod
-            v, f, n, uv = shapes_mod.sphere_mesh(
-                np.asarray(center, float), float(radius), 48, 96
-            )
-            self.add_mesh(v, f, mat, emitter_radiance=emitter_radiance,
-                          normals=n, uvs=uv)
+            # Analytic sphere emitter with solid-angle cone NEE
+            # (sphere.cpp sampleDirect) — strictly lower variance than the
+            # round-2 tessellated-area-CDF fallback: every cone direction
+            # hits the sphere, and no silhouette triangles are wasted.
+            e = len(self.emitters)
+            self.emitters.append(dict(
+                type=em_mod.SPHERE, radiance=tuple(emitter_radiance),
+                position=tuple(np.asarray(center, float)),
+                spot_cos=(float(radius), 0.0),
+            ))
+            self.spheres.append(
+                (np.asarray(center, float), float(radius), mat, e))
             return
         self.spheres.append((np.asarray(center, float), float(radius), mat, -1))
 
@@ -1212,9 +1271,8 @@ class SceneBuilder:
             etri_tri=jnp.asarray(etri_tri), etri_cdf=jnp.asarray(etri_cdf),
             env_index=jnp.asarray(env_index, jnp.int32),
             env_map=jnp.asarray(env["env_map"]),
-            env_cdf_rows=jnp.asarray(env["env_cdf_rows"]),
-            env_cdf_cond=jnp.asarray(env["env_cdf_cond"]),
-            env_pdf=jnp.asarray(env["env_pdf"]),
+            env_alias=jnp.asarray(env["env_alias"]),
+            env_hw=jnp.asarray(env["env_hw"], jnp.int32),
             env_to_world=jnp.asarray(env["env_to_world"]),
             env_scale=jnp.asarray(env["env_scale"]),
         )
@@ -1273,6 +1331,8 @@ class SceneBuilder:
         # BVH (only if worthwhile)
         use_bvh = T > BRUTE_FORCE_MAX_TRIS
         bvh_rows = np.zeros((1, 128), np.float32)
+        bvh_pages = np.zeros((16, 128), np.float32)
+        n_bvh_nodes = 0
         tl_root = np.zeros(1, np.int32)
         tl_skip = np.ones(1, np.int32)
         tl_lo = np.zeros((1, 3), np.float32)
@@ -1286,12 +1346,17 @@ class SceneBuilder:
                 # 4x smaller than fat rows)
                 host_bvh = build_bvh(lo, hi, leaf_size=1)
                 from ..accel.build import treelet_roots
-                from ..ops.pallas_bvh import pack_nodes_slim
+                from ..ops.pallas_bvh import pack_nodes_slim, pack_pages
 
                 bvh_rows = pack_nodes_slim(
                     host_bvh, tp0.astype(np.float32), te1.astype(np.float32),
                     te2.astype(np.float32),
                 )
+                bvh_pages = pack_pages(
+                    host_bvh, tp0.astype(np.float32), te1.astype(np.float32),
+                    te2.astype(np.float32),
+                )
+                n_bvh_nodes = len(host_bvh.lo)
                 roots = treelet_roots(host_bvh, max_nodes=4096)
                 tl_root = roots
                 tl_skip = host_bvh.skip[roots].astype(np.int32)
@@ -1344,6 +1409,7 @@ class SceneBuilder:
             sph_emitter=jnp.asarray(se),
             bvh=bvh,
             bvh_rows=jnp.asarray(bvh_rows),
+            bvh_pages=jnp.asarray(bvh_pages),
             tl_root=jnp.asarray(tl_root),
             tl_skip=jnp.asarray(tl_skip),
             tl_lo=jnp.asarray(tl_lo, jnp.float32),
@@ -1369,6 +1435,10 @@ class SceneBuilder:
                 or mm["opacity_tex"] >= 0 or mm.get("weight_tex", -1) >= 0
                 for mm in self.mats
             ),
+            has_opacity_tex=any(
+                mm["opacity_tex"] >= 0 for mm in self.mats),
+            has_weight_tex=any(
+                mm.get("weight_tex", -1) >= 0 for mm in self.mats),
             medium_types=tuple(sorted({mm["type"] for mm in self.media})),
             phase_types=tuple(sorted({mm["phase_type"] for mm in self.media})),
             nested_bsdf_types=tuple(sorted({
@@ -1385,6 +1455,7 @@ class SceneBuilder:
                 mm.get("interior_medium", -1) >= 0
                 or mm.get("exterior_medium", -1) >= 0 for mm in self.mats),
             ewa_taps=int(getattr(self, "ewa_taps", 0)),
+            n_bvh_nodes=n_bvh_nodes,
         )
         return scene, static
 
@@ -1419,9 +1490,12 @@ class SceneBuilder:
             line_width=jnp.asarray([t["line_width"] for t in self.textures], jnp.float32),
             scale=jnp.asarray([t["scale"] for t in self.textures], jnp.float32),
             bitmap_idx=jnp.asarray([t["bitmap"] for t in self.textures], jnp.int32),
-            stack=jnp.asarray(stack),
+            stack=jnp.asarray(
+                np.ascontiguousarray(stack).reshape(-1, 3)),
+            stack_hw=jnp.asarray(stack.shape[1:3], jnp.int32),
             sizes=jnp.asarray(sizes),
-            mips=jnp.asarray(mips),
+            mips=jnp.asarray(np.ascontiguousarray(mips).reshape(-1, 3)),
+            mips_hw=jnp.asarray(mips.shape[1:3], jnp.int32),
             corner0=jnp.asarray(c0),
             corner1=jnp.asarray(c1),
             corner2=jnp.asarray(c2),
@@ -1448,11 +1522,34 @@ def _build_envmap(e: dict):
     p_texel = w / w.sum()
     texel_sa = (2 * np.pi / W) * (np.pi / H) * sin_t[:, None]
     pdf = p_texel / np.maximum(texel_sa, 1e-12)
+    rad_pdf = np.concatenate(
+        [img.reshape(-1, 3), pdf.reshape(-1, 1)], axis=1)
+    prob, alias = _build_alias(p_texel.reshape(-1))
     return dict(
-        env_map=img.astype(np.float32),
-        env_cdf_rows=cdf_rows.astype(np.float32),
-        env_cdf_cond=cdf_cond.astype(np.float32),
-        env_pdf=pdf.astype(np.float32),
+        env_map=np.ascontiguousarray(rad_pdf, np.float32),
+        env_alias=np.ascontiguousarray(
+            np.stack([prob, alias.astype(np.float32)], axis=1), np.float32),
+        env_hw=np.asarray([H, W], np.int32),
         env_to_world=np.asarray(e.get("env_to_world", np.eye(3)), np.float32),
         env_scale=np.asarray(e.get("env_scale", 1.0), np.float32),
     )
+
+
+def _build_alias(p):
+    """Walker/Vose alias table for pmf p (N,): returns (prob, alias)."""
+    N = len(p)
+    p = np.asarray(p, np.float64)
+    p = p / p.sum()
+    scaled = p * N
+    prob = np.ones(N)
+    alias = np.arange(N, dtype=np.int64)
+    small = [i for i in range(N) if scaled[i] < 1.0]
+    large = [i for i in range(N) if scaled[i] >= 1.0]
+    while small and large:
+        s_ = small.pop()
+        l_ = large.pop()
+        prob[s_] = scaled[s_]
+        alias[s_] = l_
+        scaled[l_] = scaled[l_] - (1.0 - scaled[s_])
+        (small if scaled[l_] < 1.0 else large).append(l_)
+    return prob.astype(np.float32), alias

@@ -40,11 +40,17 @@ class TextureTable(NamedTuple):
     line_width: jnp.ndarray  # (K,) gridtexture/wireframe line width
     scale: jnp.ndarray       # (K, 3) value multiplier (scale.cpp folded in)
     bitmap_idx: jnp.ndarray  # (K,) int32 into stack, -1 if procedural
-    stack: jnp.ndarray       # (B, H, W, 3) padded bitmap stack (B >= 1)
+    # bitmaps are stored FLAT as (B*H*W, 3) with explicit strides: gathers
+    # from multi-dim arrays (img[b, y, x]) and from derived views hit
+    # XLA:TPU's slow general-gather path (measured ~3 ms per gather at
+    # 262k lanes vs 0.03 ms for a flat (N, 3) row gather)
+    stack: jnp.ndarray       # (B*H*W, 3) padded bitmap stack rows
+    stack_hw: jnp.ndarray    # (2,) int32 padded (H, W) stride of the stack
     sizes: jnp.ndarray       # (B, 2) int32 (h, w) true sizes
-    mips: jnp.ndarray        # (B, H, W//2, 3) vertically packed MIP chain
+    mips: jnp.ndarray        # (B*H*(W//2), 3) vertically packed MIP chain
                              # (level l>=1 at row offset H - (H >> (l-1)));
-                             # (1,1,1,3) when no mipmapping requested
+                             # 1 row when no mipmapping requested
+    mips_hw: jnp.ndarray     # (2,) int32 padded (H, W//2) stride of mips
     corner0: jnp.ndarray     # (T, 3) per-triangle corner attribute
     corner1: jnp.ndarray     # (vertex colors, or baked curvature in ch 0;
     corner2: jnp.ndarray     #  (1, 3) dummy when unused)
@@ -60,9 +66,11 @@ class TextureTable(NamedTuple):
             line_width=jnp.full((1,), 0.01),
             scale=jnp.ones((1, 3)),
             bitmap_idx=jnp.full((1,), -1, jnp.int32),
-            stack=jnp.zeros((1, 1, 1, 3)),
+            stack=jnp.zeros((1, 3)),
+            stack_hw=jnp.ones((2,), jnp.int32),
             sizes=jnp.ones((1, 2), jnp.int32),
-            mips=jnp.zeros((1, 1, 1, 3)),
+            mips=jnp.zeros((1, 3)),
+            mips_hw=jnp.ones((2,), jnp.int32),
             corner0=jnp.zeros((1, 3)),
             corner1=jnp.zeros((1, 3)),
             corner2=jnp.zeros((1, 3)),
@@ -216,8 +224,8 @@ def _bitmap_bilinear_level(tt: TextureTable, tid, uv, level):
         h = h0.astype(jnp.float32)
         w = w0.astype(jnp.float32)
         img = tt.stack
+        sh, sw = tt.stack_hw[0], tt.stack_hw[1]
         row0 = jnp.zeros_like(h0)
-        base = True
     else:
         lv = jnp.maximum(level, 1)
         h_i = jnp.maximum(h0 >> lv, 1)
@@ -227,7 +235,7 @@ def _bitmap_bilinear_level(tt: TextureTable, tid, uv, level):
         h = h_i.astype(jnp.float32)
         w = w_i.astype(jnp.float32)
         img = tt.mips
-        base = False
+        sh, sw = tt.mips_hw[0], tt.mips_hw[1]
 
     # repeat wrap; v flipped (uv origin bottom-left, image row 0 top)
     u = uv[..., 0] - jnp.floor(uv[..., 0])
@@ -244,13 +252,14 @@ def _bitmap_bilinear_level(tt: TextureTable, tid, uv, level):
 
     x0i, x1i = wrap(x0, w), wrap(x0 + 1, w)
     y0i, y1i = wrap(y0, h), wrap(y0 + 1, h)
-    if not base:
-        y0i = y0i + row0
-        y1i = y1i + row0
-    c00 = img[bi, y0i, x0i]
-    c10 = img[bi, y0i, x1i]
-    c01 = img[bi, y1i, x0i]
-    c11 = img[bi, y1i, x1i]
+    y0i = y0i + row0
+    y1i = y1i + row0
+    base0 = (bi * sh + y0i) * sw
+    base1 = (bi * sh + y1i) * sw
+    c00 = img[base0 + x0i]
+    c10 = img[base0 + x1i]
+    c01 = img[base1 + x0i]
+    c11 = img[base1 + x1i]
     return (
         c00 * (1 - fx) * (1 - fy)
         + c10 * fx * (1 - fy)

@@ -2,12 +2,13 @@
 """Probe: where do the bunny-bench 632 ms/spp go? Times the full production
 pass at several depths, intersect-only and shadow-only loops, and the film
 splat, to split traversal vs shading/NEE vs splat cost."""
+import os
 import sys
 import time
 
 import numpy as np
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

@@ -2,12 +2,13 @@
 """Probe: raw BVH traversal throughput on bunny.ply (69k tris) — the
 kdbench analog (reference src/utils/kdbench.cpp:30-64 measures rays/s
 through the scene bounding sphere)."""
+import os
 import sys
 import time
 
 import numpy as np
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

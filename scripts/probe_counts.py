@@ -3,12 +3,13 @@
 iterations per block (debug_counts output), against honest wall timing
 (host fetch inside the timed region), to split rows-visited from
 cycles-per-row."""
+import os
 import sys
 import time
 
 import numpy as np
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

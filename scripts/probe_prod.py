@@ -2,12 +2,13 @@
 """Probe: production slim-treelet traversal on the bench bunny_x2 scene.
 Times coherent/incoherent traversal, the sort alone, and per-block work
 stats (debug_counts) to locate the bottleneck of the 970 ms/spp bench."""
+import os
 import sys
 import time
 
 import numpy as np
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -24,7 +25,7 @@ def timeit(fn, *args, n=3):
 
 
 def main():
-    sys.path.insert(0, "/root/repo")
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     import bench
     from mitsuba_tpu.ops.pallas_bvh import bvh_traverse_treelets
 

@@ -1,12 +1,13 @@
 #!/usr/bin/env python
 """Probe: treelet-traversal parameter sweep on bunny.ply — rounds per ray
 (host estimate), throughput vs treelet size, K=1 sanity check."""
+import os
 import sys
 import time
 
 import numpy as np
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

