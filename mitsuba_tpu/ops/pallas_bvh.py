@@ -1133,3 +1133,216 @@ def bvh_traverse_lane(pages, n_nodes, o, d, t_min, t_max,
     rr = jax.lax.sort((r[9],) + tuple(res[1:]), num_keys=1)
     hitm = rr[2] >= 0
     return (hitm, rr[1], rr[2], rr[3], rr[4])
+
+
+# --- HBM paging tier: node pages DMA'd on demand (unbounded scene size) ----
+#
+# The VMEM-resident lane kernel caps out near ~1.8M nodes (pages table
+# under the ~120 MB VMEM budget). For larger scenes — the reference
+# handles multi-million-triangle meshes routinely (gkdtree.h) — the page
+# table stays in HBM and each sublane's CURRENT page is DMA'd into a
+# (BS*PCOMP, 128) VMEM scratch at the top of every outer iteration (8
+# async copies issued together, one wait each; ~1-2 us amortized over the
+# strip's compute). Same traversal, no scene-size ceiling below HBM.
+
+def _sweep_lane_hbm(pages_hbm, scr_ref, page_scr, sems, n_nodes,
+                    oxv, oyv, ozv, dxv, dyv, dzv,
+                    inx, iny, inz, tmin, node0, bt, bi, bu, bv,
+                    any_hit=False, strip=LSTRIP):
+    """Per-lane paged traversal with HBM-resident pages. ``page_scr``:
+    (BS*PCOMP, 128) VMEM scratch holding each sublane's current page;
+    ``sems``: (BS,) DMA semaphores."""
+    NP = pages_hbm.shape[0] // PCOMP
+    Nn = n_nodes
+    BIG = jnp.int32(NP + 1)
+
+    state0 = (jnp.min(node0), node0, bt, bi, bu, bv,
+              jnp.zeros((), jnp.int32))
+
+    def cond(st):
+        return st[0] < Nn
+
+    def body(st):
+        _, node, bt, bi, bu, bv, nit = st
+        pg = jnp.where(node < Nn, node >> 7, BIG)
+        p8 = jnp.min(pg, axis=1, keepdims=True)          # (BS, 1)
+        scr_ref[:, :] = p8
+        base8 = p8 * PAGE
+
+        dmas = []
+        for j in range(BS):
+            pj = jnp.minimum(scr_ref[j, 0], NP - 1) * PCOMP
+            dma = pltpu.make_async_copy(
+                pages_hbm.at[pl.ds(pj, PCOMP), :],
+                page_scr.at[pl.ds(j * PCOMP, PCOMP), :],
+                sems.at[j],
+            )
+            dma.start()
+            dmas.append(dma)
+        for dma in dmas:
+            dma.wait()
+
+        tabs = [
+            jnp.stack([page_scr[j * PCOMP + c, :] for j in range(BS)],
+                      axis=0)
+            for c in range(11)
+        ]
+
+        for _t in range(strip):
+            local = node - base8
+            act = (local >= 0) & (local < PAGE) & (node < Nn)
+            li = jnp.clip(local, 0, PAGE - 1)
+            g0 = jnp.take_along_axis(tabs[0], li, axis=1)
+            g1 = jnp.take_along_axis(tabs[1], li, axis=1)
+            g2 = jnp.take_along_axis(tabs[2], li, axis=1)
+            g3 = jnp.take_along_axis(tabs[3], li, axis=1)
+            g4 = jnp.take_along_axis(tabs[4], li, axis=1)
+            g5 = jnp.take_along_axis(tabs[5], li, axis=1)
+            g6 = jnp.take_along_axis(tabs[6], li, axis=1)
+            g7 = jnp.take_along_axis(tabs[7], li, axis=1)
+            g8 = jnp.take_along_axis(tabs[8], li, axis=1)
+            skip = jnp.take_along_axis(tabs[9], li, axis=1).astype(jnp.int32)
+            tid = jnp.take_along_axis(tabs[10], li, axis=1).astype(jnp.int32)
+            is_leaf = tid >= 0
+
+            t0x = (g0 - oxv) * inx
+            t1x = (g3 - oxv) * inx
+            t0y = (g1 - oyv) * iny
+            t1y = (g4 - oyv) * iny
+            t0z = (g2 - ozv) * inz
+            t1z = (g5 - ozv) * inz
+            tnear = jnp.maximum(
+                jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+                jnp.maximum(jnp.minimum(t0z, t1z), tmin),
+            )
+            tfar = jnp.minimum(
+                jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+                jnp.minimum(jnp.maximum(t0z, t1z), bt),
+            )
+            hit_box = act & (tnear <= tfar)
+
+            pvx = dyv * g8 - dzv * g7
+            pvy = dzv * g6 - dxv * g8
+            pvz = dxv * g7 - dyv * g6
+            det = g3 * pvx + g4 * pvy + g5 * pvz
+            ok = jnp.abs(det) > 1e-12
+            invd = 1.0 / jnp.where(ok, det, 1.0)
+            tvx, tvy, tvz = oxv - g0, oyv - g1, ozv - g2
+            uu = (tvx * pvx + tvy * pvy + tvz * pvz) * invd
+            qx = tvy * g5 - tvz * g4
+            qy = tvz * g3 - tvx * g5
+            qz = tvx * g4 - tvy * g3
+            vv = (dxv * qx + dyv * qy + dzv * qz) * invd
+            tt = (g6 * qx + g7 * qy + g8 * qz) * invd
+            h = (act & is_leaf & ok & (uu >= 0) & (vv >= 0)
+                 & (uu + vv <= 1) & (tt > tmin) & (tt < bt))
+            bt = jnp.where(h, tt, bt)
+            bi = jnp.where(h, tid, bi)
+            bu = jnp.where(h, uu, bu)
+            bv = jnp.where(h, vv, bv)
+
+            descend = hit_box & jnp.logical_not(is_leaf)
+            nxt = jnp.where(descend, node + 1, skip)
+            node = jnp.where(act, nxt, node)
+            if any_hit:
+                node = jnp.where(bi >= 0, Nn, node)
+
+        return (jnp.min(node), node, bt, bi, bu, bv, nit + 1)
+
+    _, _, bt, bi, bu, bv, nit = jax.lax.while_loop(cond, body, state0)
+    return bt, bi, bu, bv, nit
+
+
+@partial(jax.jit, static_argnames=("n_nodes", "interpret", "any_hit",
+                                  "strip"))
+def bvh_traverse_lane_hbm(pages, n_nodes, o, d, t_min, t_max,
+                          scene_lo, scene_hi, sort=True,
+                          interpret=False, any_hit=False, strip=LSTRIP):
+    """Lane traversal with HBM-resident pages (+ optional coherence sort):
+    no VMEM scene-size ceiling. Same results as bvh_traverse_lane."""
+    R = o.shape[0]
+    t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (R,))
+    t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (R,))
+    orig = None
+    if sort:
+        key = ray_sort_keys(o, d, scene_lo, scene_hi)
+        key = jnp.where(t_max <= t_min, jnp.uint32(0xFFFFFFFF), key)
+        r = jax.lax.sort(
+            (key, o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
+             t_min, t_max, jnp.arange(R, dtype=jnp.int32)),
+            num_keys=1,
+        )
+        o = jnp.stack(r[1:4], -1)
+        d = jnp.stack(r[4:7], -1)
+        t_min, t_max, orig = r[7], r[8], r[9]
+
+    Rp = -(-R // BLOCK) * BLOCK
+    grid = Rp // BLOCK
+
+    def plane(x, fill, dtype=jnp.float32):
+        x = jnp.broadcast_to(jnp.asarray(x, dtype), (R,))
+        x = jnp.pad(x, (0, Rp - R), constant_values=fill)
+        return x.reshape(grid, BS, LANES)
+
+    rays = [
+        plane(o[:, 0], 0.0), plane(o[:, 1], 0.0), plane(o[:, 2], 0.0),
+        plane(d[:, 0], 1.0), plane(d[:, 1], 0.0), plane(d[:, 2], 0.0),
+        plane(t_min, 0.0), plane(t_max, -1.0),
+    ]
+    ray_spec = pl.BlockSpec((1, BS, LANES), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    tab_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+
+    def kern(pages_r, *rest):
+        ins = [r[0] for r in rest[:8]]
+        scr, page_scr, sems = rest[-3], rest[-2], rest[-1]
+        outs = rest[8:-3]
+        oxv, oyv, ozv, dxv, dyv, dzv, tmin, tmaxv = ins
+        inx, iny, inz = _safe_inv_v(dxv), _safe_inv_v(dyv), _safe_inv_v(dzv)
+        node0 = jnp.where(tmaxv > tmin, 0, n_nodes)
+        bt, bi, bu, bv, _ = _sweep_lane_hbm(
+            pages_r, scr, page_scr, sems, n_nodes, oxv, oyv, ozv,
+            dxv, dyv, dzv, inx, iny, inz, tmin, node0, tmaxv,
+            jnp.full((BS, LANES), -1, jnp.int32),
+            jnp.zeros((BS, LANES), jnp.float32),
+            jnp.zeros((BS, LANES), jnp.float32),
+            any_hit=any_hit, strip=strip,
+        )
+        outs[0][0] = bt
+        outs[1][0] = bi
+        outs[2][0] = bu
+        outs[3][0] = bv
+
+    out = pl.pallas_call(
+        kern,
+        grid=(grid,),
+        in_specs=[tab_spec] + [ray_spec] * 8,
+        out_specs=[ray_spec] * 4,
+        out_shape=[
+            jax.ShapeDtypeStruct((grid, BS, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((grid, BS, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((grid, BS, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((grid, BS, LANES), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((BS, 1), jnp.int32),
+            pltpu.VMEM((BS * PCOMP, LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA((BS,)),
+        ],
+        interpret=interpret,
+    )(pages, *rays)
+
+    t, idx, u, v = (x.reshape(Rp)[:R] for x in out)
+    if sort:
+        rr = jax.lax.sort((orig, t, idx, u, v), num_keys=1)
+        t, idx, u, v = rr[1], rr[2], rr[3], rr[4]
+    hitm = idx >= 0
+    return hitm, jnp.where(hitm, t, jnp.inf), idx, u, v
+
+
+# node count above which the VMEM-resident page table would not fit the
+# Pallas VMEM budget and the HBM-paged kernel takes over
+LANE_VMEM_MAX_NODES = 1_500_000

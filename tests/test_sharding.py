@@ -64,3 +64,45 @@ def test_gradient_matches_across_mesh(setup):
         np.testing.assert_allclose(
             np.asarray(g_shard[k]), np.asarray(g_single[k]), rtol=2e-4, atol=1e-6
         )
+
+
+def test_bdpt_photon_mlt_sharded_match_single():
+    """The bidirectional + particle families through the (dp, sp) mesh
+    (bdpt_proc.cpp / gatherproc.cpp / pssmlt_proc.cpp roles): bdpt and
+    photon must be bitwise-equal to the single-device render (counter RNG
+    keyed by global ids), pssmlt statistically equal (chain partition)."""
+    import numpy as np
+    from mitsuba_tpu.core.transform import Transform
+    from mitsuba_tpu.parallel import shard
+    from mitsuba_tpu.render import api, sensor as S, shapes
+    from mitsuba_tpu.render.integrators.common import (
+        IntegratorConfig, BDPT, PHOTONMAPPER, PSSMLT)
+    from mitsuba_tpu.render.scene import SceneBuilder
+
+    b = SceneBuilder()
+    shapes.cornell_box(b)
+    scene, static = b.build()
+    cam = Transform.look_at([0.5, 0.5, -1.39], [0.5, 0.5, 0.5], [0, 1, 0])
+    sens = S.make_perspective(cam, 39.0, 16, 16)
+    mesh = shard.make_mesh(dp=4, sp=2)
+    st = api.RenderSettings(width=16, height=16, spp=8, filter_type=0)
+
+    cfg = IntegratorConfig(type=BDPT, max_depth=3)
+    img = np.asarray(shard.render_bdpt_sharded(
+        scene, static, sens, cfg, st, mesh))
+    ref = np.asarray(api.render(scene, static, sens, cfg, st))
+    np.testing.assert_allclose(img, ref, atol=2e-5)
+
+    cfgp = IntegratorConfig(type=PHOTONMAPPER, max_depth=4,
+                            photon_count=8192)
+    img = np.asarray(shard.render_photon_sharded(
+        scene, static, sens, cfgp, st, mesh))
+    ref = np.asarray(api.render(scene, static, sens, cfgp, st))
+    np.testing.assert_allclose(img, ref, atol=2e-5)
+
+    cfgm = IntegratorConfig(type=PSSMLT, max_depth=3, chain_count=1024,
+                            luminance_samples=4096)
+    img = np.asarray(shard.render_mlt_sharded(
+        scene, static, sens, cfgm, st, mesh))
+    ref = np.asarray(api.render(scene, static, sens, cfgm, st))
+    assert abs(img.mean() - ref.mean()) / ref.mean() < 0.05
