@@ -586,12 +586,20 @@ class XMLSceneLoader:
             sa = np.asarray(p.get("sigmaA", (0.0,) * 3), np.float64)
             sa = np.broadcast_to(sa, (3,))
             th = float(p.get("thickness", 1.0))
+            eta_rel = ior_of("intIOR", "bk7") / ior_of("extIOR", "air")
             if t == "roughcoating":
-                log.warning("scene: roughcoating approximated by the smooth "
-                            "coating kernel (coating.cpp analog)")
+                a = p.get("alpha", 0.1)
+                a = float(a[0] if isinstance(a, tuple) else a)
+                dist = {"beckmann": mf.BECKMANN, "ggx": mf.GGX,
+                        "phong": mf.BECKMANN, "as": mf.BECKMANN}[
+                    p.get("distribution", "beckmann")]
+                return self.builder.add_material(
+                    type=B.ROUGHCOATING, nested_a=mid,
+                    eta=(eta_rel,) * 3, alpha=(a, a),
+                    dist=dist, k=tuple(sa * th))
             return self.builder.add_material(
                 type=B.COATING, nested_a=mid,
-                eta=ior_of("intIOR", "bk7") / ior_of("extIOR", "air"),
+                eta=eta_rel,
                 k=tuple(sa * th))
         if t == "hk":
             ss = np.broadcast_to(

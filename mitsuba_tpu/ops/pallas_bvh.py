@@ -1254,7 +1254,7 @@ def _sweep_lane_hbm(pages_hbm, scr_ref, page_scr, sems, n_nodes,
 
 
 @partial(jax.jit, static_argnames=("n_nodes", "interpret", "any_hit",
-                                  "strip"))
+                                  "strip", "sort"))
 def bvh_traverse_lane_hbm(pages, n_nodes, o, d, t_min, t_max,
                           scene_lo, scene_hi, sort=True,
                           interpret=False, any_hit=False, strip=LSTRIP):
@@ -1344,5 +1344,6 @@ def bvh_traverse_lane_hbm(pages, n_nodes, o, d, t_min, t_max,
 
 
 # node count above which the VMEM-resident page table would not fit the
-# Pallas VMEM budget and the HBM-paged kernel takes over
+# Pallas VMEM budget and the HBM-paged kernel takes over (pages table
+# bytes = nodes/128 * 16 rows * 512 B)
 LANE_VMEM_MAX_NODES = 1_500_000

@@ -54,6 +54,8 @@ BLEND = 14          # like MIXTURE with textured weight (blendbsdf.cpp)
 DIFFTRANS = 15      # diffuse transmitter (difftrans.cpp)
 COATING = 16        # smooth dielectric layer over nested A (coating.cpp)
 HK = 17             # Hanrahan-Krueger single-scattering slab (hk.cpp)
+ROUGHCOATING = 18   # rough dielectric layer over nested A (roughcoating.cpp,
+                    # rough-transmittance attenuation from rtrans tables)
 
 SMOOTH_TYPES = (DIFFUSE, PLASTIC, ROUGH_CONDUCTOR, ROUGH_PLASTIC,
                 ROUGH_DIELECTRIC, ROUGH_DIFFUSE, PHONG, WARD, DIFFTRANS, HK)
@@ -61,7 +63,7 @@ DELTA_TYPES = (DIELECTRIC, CONDUCTOR, THIN_DIELECTRIC, NULL)
 # types whose rows reference other material rows via nested_a / nested_b;
 # nested rows must themselves be non-nesting (one level, like the dominant
 # usage of the reference's plugin nesting)
-NESTED_TYPES = (MIXTURE, BLEND, MASK, COATING)
+NESTED_TYPES = (MIXTURE, BLEND, MASK, COATING, ROUGHCOATING)
 
 
 class MaterialTable(NamedTuple):
@@ -95,6 +97,11 @@ class MaterialTable(NamedTuple):
     hk_g: jnp.ndarray          # (M,) HG phase anisotropy
     cauchy_b: jnp.ndarray      # (M,) dispersion coefficient (um^2): spectral
                                # mode shifts dielectric eta by B(1/l^2-1/ld^2)
+    # rough-transmittance polynomial (rtrans.h:448 role, fitted at build —
+    # core/rtrans.py): T(cos_i) for roughplastic/roughcoating rows, and the
+    # interior diffuse reflectance 1 - Tbar_int for the nonlinear denom
+    rt_coef: jnp.ndarray       # (M, 6) poly coefficients, low order first
+    rt_fdr: jnp.ndarray        # (M,) internal diffuse reflectance
 
     @property
     def count(self):
@@ -123,6 +130,8 @@ class BsdfLocals(NamedTuple):
     blend_w: jnp.ndarray   # (R,) mixture/blend weight of nested A
     hk_thickness: jnp.ndarray  # (R,)
     hk_g: jnp.ndarray      # (R,)
+    rt_coef: jnp.ndarray   # (R, 6) rough-transmittance poly (rtrans role)
+    rt_fdr: jnp.ndarray    # (R,) internal diffuse reflectance
 
 
 class BsdfSample(NamedTuple):
@@ -158,6 +167,8 @@ def gather_locals(table: MaterialTable, mat_id, albedo_override=None,
         blend_w=blend_w,
         hk_thickness=table.hk_thickness[mid],
         hk_g=table.hk_g[mid],
+        rt_coef=table.rt_coef[mid],
+        rt_fdr=table.rt_fdr[mid],
     )
 
 
@@ -302,6 +313,16 @@ def _rough_conductor_sample(bl, dist: int, wi, u_lobe, u2):
     return wo, weight, jnp.where(ok, pdf, 0.0), jnp.zeros(ok.shape, bool), jnp.ones(ok.shape)
 
 
+def _rt_T(bl: BsdfLocals, cos_v):
+    """Rough-transmittance polynomial T(cos) (rtrans.h eval role;
+    coefficients fitted at scene build, core/rtrans.py)."""
+    c = jnp.clip(jnp.abs(cos_v), 0.0, 1.0)
+    acc = bl.rt_coef[..., 5]
+    for k in (4, 3, 2, 1, 0):
+        acc = acc * c + bl.rt_coef[..., k]
+    return jnp.clip(acc, 0.0, 1.0)
+
+
 # --- plastic (plastic.cpp): smooth specular + internally-scattered diffuse --
 
 def _plastic_parts(bl, wi, wo):
@@ -384,7 +405,19 @@ def _rough_plastic_eval(bl, dist: int, wi, wo):
     F = _smooth_fresnel(bl, m.dot(wi, mh))
     spec = m.safe_div(D * G * F, 4.0 * wi[..., 2])
     f_spec = bl.spec_refl * spec[..., None]
-    f_diff = _plastic_eval(bl, wi, wo)
+    # diffuse through the ROUGH interface: transmittance from the fitted
+    # rtrans tables instead of the smooth Fresnel factors
+    # (roughplastic.cpp:361 evalDiffuse with m_externalRoughTransmittance)
+    eta = bl.eta_s
+    inv_eta2 = 1.0 / (eta * eta)
+    T_i = _rt_T(bl, wi[..., 2])
+    T_o = _rt_T(bl, wo[..., 2])
+    denom = jnp.where(bl.nonlinear[..., None],
+                      1.0 - bl.albedo * bl.rt_fdr[..., None],
+                      (1.0 - bl.rt_fdr)[..., None])
+    f_diff = (bl.albedo * (T_i * T_o * inv_eta2)[..., None] * warp.INV_PI
+              * jnp.maximum(wo[..., 2], 0.0)[..., None]
+              / jnp.maximum(denom, 1e-6))
     return jnp.where(ok[..., None], f_spec + f_diff, 0.0)
 
 
@@ -978,6 +1011,54 @@ def _coating_pdf(bl, bl_a, ntypes, wi, wo):
     return (1.0 - p_spec) * p_n * jac
 
 
+# --- roughcoating (roughcoating.cpp): microfacet varnish over nested A ----
+#
+# Like coating but the outer interface is a rough dielectric: the specular
+# lobe is a full microfacet reflection and the nested BSDF is attenuated by
+# the fitted rough-transmittance T(cos) on the way in and out (rtrans.h
+# role). Refraction of the nested directions uses the macro normal, the
+# same approximation as the reference (roughcoating.cpp:267
+# refractTo(EInterior, ...) with the smooth eta).
+
+def _roughcoating_spec_prob(bl, wi):
+    return jnp.clip(1.0 - _rt_T(bl, wi[..., 2]), 0.05, 0.95)
+
+
+def _roughcoating_eval(bl, bl_a, ntypes, wi, wo):
+    ok = (wi[..., 2] > 0) & (wo[..., 2] > 0)
+    mh = m.normalize(wi + wo)
+    au = bl.alpha[..., 0]
+    dist = bl.dist
+    # static-dist scenes carry one tag; evaluate both and select
+    def spec_for(d):
+        D = mf.eval_d(d, au, au, mh)
+        G = mf.smith_g(d, au, au, wi, wo, mh)
+        F, _ = m.fresnel_dielectric(jnp.abs(m.dot(wi, mh)), bl.eta_s)
+        return m.safe_div(D * G * F, 4.0 * wi[..., 2])
+    spec = jnp.where(dist == 1, spec_for(1), spec_for(0))
+    f_spec = bl.spec_refl * spec[..., None]
+
+    wi_p, wo_p, _, _, Tabs, jac = _coating_common(bl, wi, wo)
+    f_n = _eval_base(bl_a, wi_p, wo_p, ntypes)
+    T_i = _rt_T(bl, wi[..., 2])
+    T_o = _rt_T(bl, wo[..., 2])
+    f_nested = f_n * (T_i * T_o * jac)[..., None] * Tabs
+    return jnp.where(ok[..., None], f_spec + f_nested, 0.0)
+
+
+def _roughcoating_pdf(bl, bl_a, ntypes, wi, wo):
+    ok = (wi[..., 2] > 0) & (wo[..., 2] > 0)
+    mh = m.normalize(wi + wo)
+    au = bl.alpha[..., 0]
+    p_m = jnp.where(bl.dist == 1, mf.pdf(1, au, au, wi, mh),
+                    mf.pdf(0, au, au, wi, mh))
+    pdf_s = m.safe_div(p_m, 4.0 * jnp.abs(m.dot(wo, mh)))
+    wi_p, wo_p, _, _, _, jac = _coating_common(bl, wi, wo)
+    p_n = _pdf_base(bl_a, wi_p, wo_p, ntypes)
+    p_spec = _roughcoating_spec_prob(bl, wi)
+    return jnp.where(ok, p_spec * pdf_s + (1.0 - p_spec) * p_n * jac, 0.0)
+
+
 def eval(bl: BsdfLocals, wi, wo, active_types=None, nested=None):
     out = _eval_base(bl, wi, wo, active_types)
     if nested is None:
@@ -997,6 +1078,9 @@ def eval(bl: BsdfLocals, wi, wo, active_types=None, nested=None):
     if COATING in types:
         out = jnp.where((bl.type == COATING)[..., None],
                         _coating_eval(bl, bl_a, ntypes, wi, wo), out)
+    if ROUGHCOATING in types:
+        out = jnp.where((bl.type == ROUGHCOATING)[..., None],
+                        _roughcoating_eval(bl, bl_a, ntypes, wi, wo), out)
     return out
 
 
@@ -1015,6 +1099,9 @@ def pdf(bl: BsdfLocals, wi, wo, active_types=None, nested=None):
             out = jnp.where(mixsel, w * p_a + (1.0 - w) * p_b, out)
         if MASK in types:
             out = jnp.where(bl.type == MASK, bl.opacity * p_a, out)
+    if ROUGHCOATING in types:
+        out = jnp.where(bl.type == ROUGHCOATING,
+                        _roughcoating_pdf(bl, bl_a, ntypes, wi, wo), out)
     if COATING in types:
         out = jnp.where(bl.type == COATING,
                         _coating_pdf(bl, bl_a, ntypes, wi, wo), out)
@@ -1119,4 +1206,53 @@ def sample(bl: BsdfLocals, wi, u_lobe, u2, active_types=None,
             eta=jnp.ones(wi.shape[:-1]),
         )
         out = _sel(bl.type == COATING, r_c, out)
+
+    if ROUGHCOATING in types:
+        # rough varnish: microfacet reflection lobe OR nested sample
+        # refracted through the macro interface (roughcoating.cpp sample)
+        eta = bl.eta_s
+        p_spec = _roughcoating_spec_prob(bl, wi)
+        choose_spec = u_lobe < p_spec
+        au = bl.alpha[..., 0]
+        mh0, _ = mf.sample(0, au, au, wi, u2)
+        mh1, _ = mf.sample(1, au, au, wi, u2)
+        mh = jnp.where((bl.dist == 1)[..., None], mh1, mh0)
+        wo_s = m.reflect(wi, mh)
+
+        wi_p, ci_p = _coat_refract(wi, eta)
+        u_n = jnp.clip(m.safe_div(u_lobe - p_spec, 1.0 - p_spec),
+                       0.0, 1.0 - 1e-7)
+        r_n = _sample_base(bl_a, wi_p, u_n, u2, ntypes)
+        wo_c, valid_out = _coat_refract_out(r_n.wo, eta)
+        wo_rc = jnp.where(choose_spec[..., None], wo_s, wo_c)
+        # smooth combined eval/pdf (no delta lobes in the rough coat; a
+        # delta NESTED lobe keeps its own weight path)
+        nested_delta = ~choose_spec & r_n.is_delta
+        f_rc = _roughcoating_eval(bl, bl_a, ntypes, wi, wo_rc)
+        p_rc = _roughcoating_pdf(bl, bl_a, ntypes, wi, wo_rc)
+        # eval convention already includes cos_o (see _rough_conductor_f)
+        w_smooth = m.safe_div(f_rc, jnp.maximum(p_rc, 1e-12)[..., None])
+        # delta nested lobe: carry the nested weight with T attenuation
+        T_i = _rt_T(bl, wi[..., 2])
+        T_o = _rt_T(bl, wo_c[..., 2])
+        co_p = jnp.abs(r_n.wo[..., 2])
+        Tabs = jnp.exp(-bl.k_c * (1.0 / jnp.maximum(ci_p, 1e-6)
+                                  + 1.0 / jnp.maximum(co_p, 1e-6))[..., None])
+        w_delta = r_n.weight * Tabs * m.safe_div(
+            T_i * T_o, 1.0 - p_spec)[..., None]
+        ok_n = valid_out & (r_n.pdf > 0)
+        jac = m.safe_div(jnp.abs(wo_c[..., 2]),
+                         eta * eta * jnp.maximum(co_p, 1e-6))
+        weight_rc = jnp.where(nested_delta[..., None], w_delta, w_smooth)
+        weight_rc = jnp.where(
+            (choose_spec | ok_n)[..., None], weight_rc, 0.0)
+        pdf_rc = jnp.where(nested_delta,
+                           (1.0 - p_spec) * r_n.pdf * jac, p_rc)
+        pdf_rc = jnp.where(choose_spec | ok_n, pdf_rc, 0.0)
+        r_rc = BsdfSample(
+            wo=wo_rc, weight=weight_rc, pdf=pdf_rc,
+            is_delta=nested_delta,
+            eta=jnp.ones(wi.shape[:-1]),
+        )
+        out = _sel(bl.type == ROUGHCOATING, r_rc, out)
     return out

@@ -169,9 +169,14 @@ def ray_intersect(scene: Scene, static: SceneStatic, o, d, t_min, t_max,
         if static.use_bvh:
             if _pallas_bvh_ok(static):
                 if BVH_KERNEL == "lane":
-                    from ..ops.pallas_bvh import bvh_traverse_lane
+                    from ..ops.pallas_bvh import (
+                        LANE_VMEM_MAX_NODES, bvh_traverse_lane,
+                        bvh_traverse_lane_hbm)
 
-                    hit_t, tri_t, tri_idx, tri_u, tri_v = bvh_traverse_lane(
+                    trav = (bvh_traverse_lane_hbm
+                            if static.n_bvh_nodes > LANE_VMEM_MAX_NODES
+                            else bvh_traverse_lane)
+                    hit_t, tri_t, tri_idx, tri_u, tri_v = trav(
                         scene.bvh_pages, static.n_bvh_nodes, o, d,
                         t_min, t_max, scene.aabb_lo, scene.aabb_hi,
                         sort=BVH_SORT and not presorted,
@@ -383,9 +388,14 @@ def occluded(scene: Scene, static: SceneStatic, o, d, t_min, t_max,
         if static.use_bvh:
             if _pallas_bvh_ok(static):
                 if BVH_KERNEL == "lane":
-                    from ..ops.pallas_bvh import bvh_traverse_lane
+                    from ..ops.pallas_bvh import (
+                        LANE_VMEM_MAX_NODES, bvh_traverse_lane,
+                        bvh_traverse_lane_hbm)
 
-                    h, _, _, _, _ = bvh_traverse_lane(
+                    trav = (bvh_traverse_lane_hbm
+                            if static.n_bvh_nodes > LANE_VMEM_MAX_NODES
+                            else bvh_traverse_lane)
+                    h, _, _, _, _ = trav(
                         scene.bvh_pages, static.n_bvh_nodes, o, d,
                         t_min, t_max, scene.aabb_lo, scene.aabb_hi,
                         sort=BVH_SORT and not presorted, any_hit=True,
@@ -1279,6 +1289,21 @@ class SceneBuilder:
 
         # material table
         Mn = len(self.mats)
+        # rough-transmittance polynomial bake (rtrans.h / rdielprec role):
+        # roughplastic + roughcoating rows get fitted T(cos) + internal
+        # diffuse reflectance; others carry zeros (never evaluated)
+        from ..core import rtrans as rtrans_mod
+
+        rt_coef = np.zeros((Mn, rtrans_mod.RT_DEG), np.float32)
+        rt_fdr = np.zeros(Mn, np.float32)
+        for i, mm in enumerate(self.mats):
+            if mm["type"] in (bsdf_mod.ROUGH_PLASTIC, bsdf_mod.ROUGHCOATING):
+                a = float(mm["alpha"][0])
+                e = float(mm["eta"][0])
+                d = int(mm["dist"])
+                rt_coef[i], _ = rtrans_mod.fit_poly(d, a, e)
+                rt_fdr[i] = 1.0 - rtrans_mod.diffuse_transmittance(
+                    d, a, 1.0 / e)
         materials = bsdf_mod.MaterialTable(
             type=jnp.asarray([mm["type"] for mm in self.mats], jnp.int32),
             dist=jnp.asarray([mm["dist"] for mm in self.mats], jnp.int32),
@@ -1307,6 +1332,8 @@ class SceneBuilder:
             hk_thickness=jnp.asarray([mm.get("hk_thickness", 1.0) for mm in self.mats], jnp.float32),
             hk_g=jnp.asarray([mm.get("hk_g", 0.0) for mm in self.mats], jnp.float32),
             cauchy_b=jnp.asarray([mm.get("cauchy_b", 0.0) for mm in self.mats], jnp.float32),
+            rt_coef=jnp.asarray(rt_coef),
+            rt_fdr=jnp.asarray(rt_fdr),
         )
 
         corners = None

@@ -272,3 +272,42 @@ np.savez(sys.argv[2], lo=b.lo, hi=b.hi, skip=b.skip, order=b.prim_order)
         b = np.load(f"{d}/b4.npz")
         for k in ("lo", "hi", "skip", "order"):
             assert np.array_equal(a[k], b[k]), k
+
+
+def test_lane_hbm_kernel_matches_vmem():
+    """The HBM-paged lane kernel (bvh_traverse_lane_hbm: per-sublane page
+    DMA from an ANY-space table) must agree with the VMEM-resident lane
+    kernel on closest hits (interpret mode; the real-DMA path is exercised
+    on hardware by bench.py's large-scene entry)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from mitsuba_tpu.accel.build import build_bvh, triangle_aabbs
+    from mitsuba_tpu.ops.pallas_bvh import (
+        pack_pages, bvh_traverse_lane_packed, bvh_traverse_lane_hbm)
+
+    rng = np.random.default_rng(3)
+    T = 1500
+    p0 = rng.uniform(-1, 1, (T, 3)).astype(np.float32)
+    e1 = rng.uniform(-0.15, 0.15, (T, 3)).astype(np.float32)
+    e2 = rng.uniform(-0.15, 0.15, (T, 3)).astype(np.float32)
+    lo, hi = triangle_aabbs(p0, p0 + e1, p0 + e2)
+    bvh = build_bvh(lo, hi, leaf_size=1)
+    N = len(bvh.lo)
+    pages = jnp.asarray(pack_pages(bvh, p0, e1, e2))
+    R = 1024
+    o = jnp.asarray(rng.uniform(-2, 2, (R, 3)).astype(np.float32))
+    d = rng.normal(size=(R, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    d = jnp.asarray(d)
+    slo = jnp.asarray(lo.min(0))
+    shi = jnp.asarray(hi.max(0))
+
+    ref = bvh_traverse_lane_packed(pages, N, o, d, 1e-4, 1e9,
+                                   interpret=True)
+    res = bvh_traverse_lane_hbm(pages, N, o, d, 1e-4, 1e9, slo, shi,
+                                sort=False, interpret=True)
+    np.testing.assert_array_equal(np.asarray(res[0]), np.asarray(ref[0]))
+    both = np.asarray(res[0]) & np.asarray(ref[0])
+    np.testing.assert_allclose(
+        np.where(both, np.asarray(res[1]), 0.0),
+        np.where(both, np.asarray(ref[1]), 0.0), atol=1e-5)

@@ -3,6 +3,8 @@ lobe (the reference's test_chisquare.cpp program), energy conservation, and
 delta-lobe physical checks (Fresnel / Snell, test-style of dielectric.cpp).
 """
 import jax.numpy as jnp
+import zlib
+
 import numpy as np
 import pytest
 
@@ -21,7 +23,7 @@ def make_locals(n, **kw):
         spec_refl=(1.0, 1.0, 1.0), spec_trans=(1.0, 1.0, 1.0),
         eta=(1.5, 1.5, 1.5), k=(0.0, 0.0, 0.0), alpha=(0.3, 0.3),
         nonlinear=False, twosided=False, opacity=1.0, blend_w=0.5,
-        hk_thickness=1.0, hk_g=0.0,
+        hk_thickness=1.0, hk_g=0.0, rt=None,
     )
     defaults.update(kw)
     d = defaults
@@ -45,7 +47,26 @@ def make_locals(n, **kw):
         blend_w=jnp.full((n,), d["blend_w"]),
         hk_thickness=jnp.full((n,), d["hk_thickness"]),
         hk_g=jnp.full((n,), d["hk_g"]),
+        rt_coef=full(_rt_for(d), (n, 6)),
+        rt_fdr=jnp.full((n,), _rt_fdr_for(d)),
     )
+
+
+def _rt_for(d):
+    if d["type"] not in (B.ROUGH_PLASTIC, B.ROUGHCOATING):
+        return (0.0,) * 6
+    from mitsuba_tpu.core import rtrans
+    coef, _ = rtrans.fit_poly(int(d["dist"]), float(d["alpha"][0]),
+                              float(d["eta"][0]))
+    return tuple(float(c) for c in coef)
+
+
+def _rt_fdr_for(d):
+    if d["type"] not in (B.ROUGH_PLASTIC, B.ROUGHCOATING):
+        return 0.0
+    from mitsuba_tpu.core import rtrans
+    return 1.0 - rtrans.diffuse_transmittance(
+        int(d["dist"]), float(d["alpha"][0]), 1.0 / float(d["eta"][0]))
 
 
 def _wi(theta_deg, n):
@@ -93,7 +114,7 @@ def test_bsdf_chi2(name, mat, theta):
     def sample_fn(n):
         bl = make_locals(n, **mat)
         wi = _wi(theta, n)
-        u = rng.uniform4(hash(name) % 1000, jnp.arange(n, dtype=jnp.int32), 0, 0)
+        u = rng.uniform4(zlib.crc32(name.encode()) % 1000, jnp.arange(n, dtype=jnp.int32), 0, 0)
         bs = B.sample(bl, wi, u[..., 0], u[..., 1:3], active_types=types)
         ok = (bs.pdf > 0) & ~bs.is_delta
         return np.where(np.asarray(ok)[:, None], np.asarray(bs.wo), 0.0)
@@ -213,7 +234,7 @@ def test_nested_chi2(name, outer, cfg_a, cfg_b, ntypes, theta):
     def sample_fn(n):
         bl, bla, blb = mk(n)
         wi = _wi(theta, n)
-        u = rng.uniform4(hash(name) % 1000, jnp.arange(n, dtype=jnp.int32), 0, 0)
+        u = rng.uniform4(zlib.crc32(name.encode()) % 1000, jnp.arange(n, dtype=jnp.int32), 0, 0)
         bs = B.sample(bl, wi, u[..., 0], u[..., 1:3], active_types=types,
                       nested=(bla, blb, ntypes))
         ok = (bs.pdf > 0) & ~bs.is_delta
@@ -254,3 +275,75 @@ def test_nested_weight_consistency():
         ratio = f / np.maximum(p, 1e-12)[:, None]
         err = np.abs(ratio - np.asarray(bs.weight))[sm]
         assert err.max() < 1e-3, (outer["type"], err.max())
+
+
+def test_roughcoating_chi2():
+    """sample()-vs-pdf() agreement for the rough varnish kernel
+    (roughcoating.cpp + rtrans.h tables)."""
+    outer = dict(type=B.ROUGHCOATING, eta=(1.5,) * 3, alpha=(0.25, 0.25),
+                 k=(0.02,) * 3)
+    types = (B.ROUGHCOATING,)
+    ntypes = (B.DIFFUSE,)
+
+    def mk(n):
+        return (make_locals(n, **outer), make_locals(n, type=B.DIFFUSE),
+                make_locals(n, type=B.DIFFUSE))
+
+    def sample_fn(n):
+        bl, bla, blb = mk(n)
+        wi = _wi(35.0, n)
+        u = rng.uniform4(77, jnp.arange(n, dtype=jnp.int32), 0, 0)
+        bs = B.sample(bl, wi, u[..., 0], u[..., 1:3], active_types=types,
+                      nested=(bla, blb, ntypes))
+        ok = (bs.pdf > 0) & ~bs.is_delta
+        return np.where(np.asarray(ok)[:, None], np.asarray(bs.wo), 0.0)
+
+    def pdf_fn(d):
+        n = d.shape[0]
+        bl, bla, blb = mk(n)
+        wi = _wi(35.0, n)
+        return B.pdf(bl, wi, d, active_types=types, nested=(bla, blb, ntypes))
+
+    ok, pval, stat, dof, info = chi2_test(
+        sample_fn, pdf_fn, n_samples=N, significance=0.0005
+    )
+    assert ok, f"roughcoating: {info}"
+
+
+def test_roughcoating_smooth_limit():
+    """alpha -> 0 roughcoating must converge to the smooth coating kernel
+    (same nested diffuse, same eta/absorption)."""
+    n = 200_000
+    wi = _wi(30.0, n)
+    u = rng.uniform4(3, jnp.arange(n, dtype=jnp.int32), 0, 0)
+    bla = make_locals(n, type=B.DIFFUSE)
+    blb = make_locals(n, type=B.DIFFUSE)
+    vals = {}
+    for label, t, a in (("smooth", B.COATING, 0.3),
+                        ("rough", B.ROUGHCOATING, 1e-3)):
+        bl = make_locals(n, type=t, eta=(1.5,) * 3, alpha=(a, a),
+                         k=(0.05,) * 3)
+        bs = B.sample(bl, wi, u[..., 0], u[..., 1:3], active_types=(t,),
+                      nested=(bla, blb, (B.DIFFUSE,)))
+        # mean reflected energy (weight) over all samples = directional
+        # albedo estimate
+        vals[label] = float(np.asarray(bs.weight).mean())
+    assert abs(vals["rough"] - vals["smooth"]) / vals["smooth"] < 0.05, vals
+
+
+def test_roughplastic_rtrans_energy():
+    """roughplastic with the rtrans diffuse term stays energy-conserving
+    and brightens at grazing vs the smooth-Fresnel approximation (rough
+    interfaces transmit MORE at grazing angles)."""
+    n = 200_000
+    u = rng.uniform4(5, jnp.arange(n, dtype=jnp.int32), 0, 0)
+    bl = make_locals(n, type=B.ROUGH_PLASTIC, alpha=(0.3, 0.3),
+                     albedo=(1.0, 1.0, 1.0), eta=(1.49,) * 3,
+                     nonlinear=False)
+    for theta in (10.0, 70.0):
+        wi = _wi(theta, n)
+        bs = B.sample(bl, wi, u[..., 0], u[..., 1:3],
+                      active_types=(B.ROUGH_PLASTIC,))
+        alb = float(np.asarray(bs.weight).mean())
+        assert alb <= 1.05, (theta, alb)  # white furnace bound
+        assert alb > 0.3, (theta, alb)
