@@ -128,7 +128,8 @@ def li(scene, static, cfg: IntegratorConfig, o, d, seed, pixel, sample,
         n_rays=jnp.zeros((), jnp.float32),
     )
 
-    def bounce(i, s: _PathState):
+    def make_bounce(first_presorted: bool):
+      def bounce(i, s: _PathState):
         depth = i + 1  # 1-based like rRec.depth
         first = depth == 1
         dim0 = DIM_BASE + i * DIMS_PER_BOUNCE
@@ -136,9 +137,12 @@ def li(scene, static, cfg: IntegratorConfig, o, d, seed, pixel, sample,
         pixel = s.pixel
         n_rays = s.n_rays + jnp.sum(active.astype(jnp.float32))
 
+        # bounce 0 runs peeled with presorted=True: raster-ordered primary
+        # rays are already coherent, so the per-query sort+unsort (the
+        # profiled ~43 ms payload gathers) is skipped for them
         its = scene_mod.ray_intersect(
             scene, static, o, d, 1e-4, jnp.inf, active=active,
-            presorted=wsort,
+            presorted=wsort or first_presorted,
         )
 
         # --- escaped rays: environment emitter with MIS (path.cpp:234-248)
@@ -280,8 +284,11 @@ def li(scene, static, cfg: IntegratorConfig, o, d, seed, pixel, sample,
                 ns,
             )
         return ns
+      return bounce
 
-    out = jax.lax.fori_loop(0, max_depth, bounce, init)
+    out = make_bounce(True)(jnp.asarray(0, jnp.int32), init)
+    if max_depth > 1:
+        out = jax.lax.fori_loop(1, max_depth, make_bounce(False), out)
     if wsort:
         # restore the caller's lane order with one final sort keyed on the
         # carried original index (pixel ids may repeat; lane index cannot)
