@@ -156,9 +156,10 @@ def time_scene(scene, static, cam_eye, cam_at, fov, W, H, spp_per_pass,
 
 
 def time_large_scene_hbm():
-    """~1.1M-tri scene (8 bunny copies baked into real geometry) traced
-    through the HBM-paged lane kernel (no VMEM scene-size ceiling —
-    VERDICT r2 missing #2 / gkdtree.h-scale scenes)."""
+    """~1.1M-tri scene (16 bunny copies baked into real geometry, ~2.2M
+    BVH nodes — past the VMEM-resident lane tier's ceiling) traced through
+    the HBM-paged lane kernel (no VMEM scene-size ceiling — VERDICT r2
+    missing #2 / gkdtree.h-scale scenes)."""
     import time as _t
 
     from mitsuba_tpu.io import mesh as mesh_io
@@ -174,9 +175,9 @@ def time_large_scene_hbm():
     f0 = md.faces.astype(np.int64)
     vs, fs = [], []
     off = 0
-    for i in range(8):
+    for i in range(16):
         dx = (i % 4 - 1.5) * 0.18
-        dz = (i // 4) * 0.2
+        dz = (i // 4 - 1.5) * 0.2
         vs.append(v0 + np.asarray([dx, 0.0, dz], np.float32))
         fs.append(f0 + off)
         off += len(v0)

@@ -4,7 +4,9 @@ Parity with the reference CLI (src/mitsuba/mitsuba.cpp:52-86,129-418):
 -o output, -D key=value scene defines, -L log level, -z quiet, -x skip
 scenes whose output exists, -r sec periodic partial-image flush (the
 FlushThread analog, mitsuba.cpp:107-127), -p device count (TPU chips
-instead of CPU cores), multiple scene files rendered in sequence.
+instead of CPU cores), -j N concurrent scenes (mitsuba.cpp:223-227 P5:
+scene load + BVH build + jit compile overlap across a thread pool; device
+passes still serialize per chip).
 """
 from __future__ import annotations
 
@@ -28,6 +30,9 @@ def main(argv=None):
                     help="number of TPU devices (0 = all available)")
     ap.add_argument("-x", "--skip-existing", action="store_true",
                     help="skip scenes whose output already exists")
+    ap.add_argument("-j", "--jobs", type=int, default=1,
+                    help="render up to N scenes concurrently (host-side "
+                         "load/build/compile overlap)")
     ap.add_argument("-r", "--flush", type=float, default=0.0,
                     help="write partial image every SEC seconds")
     ap.add_argument("-c", "--checkpoint", default="",
@@ -70,11 +75,15 @@ def main(argv=None):
     n_dev = len(jax.devices())
     use_dev = args.devices or n_dev
 
-    for scene_path in args.scenes:
+    def render_one(scene_path):
         out = args.output or os.path.splitext(scene_path)[0] + ".exr"
+        ckpt = args.checkpoint
+        if ckpt and len(args.scenes) > 1:  # one checkpoint per scene
+            base = os.path.splitext(os.path.basename(scene_path))[0]
+            ckpt = "%s.%s.npz" % (os.path.splitext(ckpt)[0], base)
         if args.skip_existing and os.path.exists(out):
             log.info("skipping %s (output exists)", scene_path)
-            continue
+            return
         t0 = time.time()
         log.info("loading %s ...", scene_path)
         ls = load_scene(scene_path, defines)
@@ -128,23 +137,23 @@ def main(argv=None):
             return jitted[n](film, base)
 
         s = 0
-        if args.checkpoint and os.path.exists(args.checkpoint):
-            ck = np.load(args.checkpoint)
+        if ckpt and os.path.exists(ckpt):
+            ck = np.load(ckpt)
             if tuple(ck["shape"]) == (H, W):
                 film = film_mod.Film(data=jnp.asarray(ck["film"]))
                 s = int(ck["samples"])
-                log.info("resumed %s at %d spp", args.checkpoint, s)
+                log.info("resumed %s at %d spp", ckpt, s)
         while s < settings.spp:
             n = min(chunk, settings.spp - s)
             film = run_pass(film, jnp.asarray(s, jnp.int32), n)
             s += n
             stats.incr(n * H * W)
             progress.update(s)
-            if args.checkpoint:
-                tmp = args.checkpoint + ".tmp.npz"
+            if ckpt:
+                tmp = ckpt + ".tmp.npz"
                 np.savez(tmp, film=np.asarray(film.data), samples=s,
                          shape=(H, W), seed=settings.seed)
-                os.replace(tmp, args.checkpoint)
+                os.replace(tmp, ckpt)
             if args.flush > 0 and time.time() - last_flush > args.flush:
                 write_image(out, np.asarray(film_mod.develop(film)))
                 last_flush = time.time()
@@ -154,6 +163,24 @@ def main(argv=None):
         log.info("wrote %s (%.1fs)", out, time.time() - t0)
         if not args.quiet:
             Statistics.print_stats()
+
+    if args.jobs > 1 and len(args.scenes) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=args.jobs) as ex:
+            futs = [ex.submit(render_one, p) for p in args.scenes]
+            errs = []
+            for p, fu in zip(args.scenes, futs):
+                try:
+                    fu.result()
+                except Exception as e:  # render the rest; report at exit
+                    log.error("scene %s failed: %s", p, e)
+                    errs.append(p)
+            if errs:
+                return 1
+    else:
+        for scene_path in args.scenes:
+            render_one(scene_path)
     return 0
 
 

@@ -46,6 +46,11 @@ class MediumTable(NamedTuple):
     grid_size: jnp.ndarray   # (G, 3) int32 (D, H, W)
     world_to_grid: jnp.ndarray  # (G, 4, 4)
     majorant: jnp.ndarray    # (K,) max sigma_t (delta-tracking bound)
+    # hierarchical majorants (src/volume/hgridvolume.cpp:216 role): per
+    # supercell max *raw density* over the cell dilated by one voxel (the
+    # dilation covers both trilinear support and boundary-epsilon steps),
+    # so tracking in sparse media leaps empty space in one DDA step
+    super_maj: jnp.ndarray   # (G, S, S, S) float32, S = SUPER_RES
 
     @staticmethod
     def empty() -> "MediumTable":
@@ -67,6 +72,7 @@ class MediumTable(NamedTuple):
             grid_size=jnp.ones((1, 3), jnp.int32),
             world_to_grid=jnp.eye(4)[None],
             majorant=jnp.ones((1,)),
+            super_maj=jnp.ones((1, 1, 1, 1)),
         )
 
 
@@ -118,6 +124,51 @@ def _lookup_density(med: MediumTable, mid, p):
 
 
 MAX_TRACKING_STEPS = 256
+SUPER_RES = 8            # majorant supergrid resolution per axis
+
+
+def _gridspace_ray(med: MediumTable, mid, o, d):
+    """Affine grid-space ray: gp(t) = gp0 + t * dg, for each lane's grid."""
+    gi = jnp.maximum(med.grid_idx[mid], 0)
+    w2g = med.world_to_grid[gi]
+    oh = jnp.concatenate([o, jnp.ones_like(o[..., :1])], axis=-1)
+    gp0 = jnp.einsum("...ij,...j->...i", w2g, oh)[..., :3]
+    dg = jnp.einsum("...ij,...j->...i", w2g[..., :3, :3], d)
+    return gi, gp0, dg
+
+
+def _super_step(med: MediumTable, gi, gp0, dg, t_cur):
+    """One DDA query against the majorant supergrid at parameter t_cur.
+
+    Returns (dmax, t_limit, advance_only):
+      * inside the unit grid cube: dmax = supercell raw-density majorant,
+        t_limit = parameter at which the ray leaves the supercell,
+      * outside with an entry ahead: dmax = 0, t_limit = cube entry,
+        advance_only = True,
+      * outside with no entry: t_limit = +inf (caller retires the lane).
+    """
+    S = med.super_maj.shape[1]
+    gp = gp0 + t_cur[..., None] * dg
+    inside = jnp.all((gp >= 0.0) & (gp <= 1.0), axis=-1)
+    c = jnp.clip(jnp.floor(gp * S).astype(jnp.int32), 0, S - 1)
+    dmax = med.super_maj[gi, c[..., 2], c[..., 1], c[..., 0]]
+    inv = 1.0 / jnp.where(jnp.abs(dg) < 1e-12,
+                          jnp.where(dg < 0, -1e-12, 1e-12), dg)
+    box_lo = jnp.where(inside[..., None], c.astype(jnp.float32) / S,
+                       jnp.zeros_like(gp))
+    box_hi = jnp.where(inside[..., None], (c + 1).astype(jnp.float32) / S,
+                       jnp.ones_like(gp))
+    t1 = (box_lo - gp) * inv
+    t2 = (box_hi - gp) * inv
+    t_far = jnp.min(jnp.maximum(t1, t2), axis=-1)    # exit (inside)
+    t_near = jnp.max(jnp.minimum(t1, t2), axis=-1)   # entry (outside)
+    miss = (~inside) & ((t_near > t_far) | (t_far < 0.0))
+    # nudge past the boundary by ~1e-3 voxel (covered by the dilation)
+    nudge = 1e-3 / (S * jnp.maximum(jnp.max(jnp.abs(dg), axis=-1), 1e-12))
+    t_limit = jnp.where(
+        inside, t_cur + t_far + nudge,
+        jnp.where(miss, jnp.inf, t_cur + jnp.maximum(t_near, 0.0) + nudge))
+    return jnp.where(inside, dmax, 0.0), t_limit, ~inside
 
 
 def sample_distance(med: MediumTable, static_types, medium_id, o, d, t_surf,
@@ -162,9 +213,14 @@ def sample_distance(med: MediumTable, static_types, medium_id, o, d, t_surf,
         )
 
     if HETEROGENEOUS in static_types:
-        # delta (Woodcock) tracking, vectorized over lanes
+        # delta (Woodcock) tracking with per-supercell majorants: each step
+        # samples a free flight against the LOCAL majorant, bounded by the
+        # supercell exit (memoryless exponential => restarting at the
+        # boundary with the next cell's majorant is unbiased). Empty cells
+        # and the space outside the grid cube are crossed in one DDA step.
         is_het = in_medium & (med.type[mid] == HETEROGENEOUS)
-        maj = jnp.maximum(med.majorant[mid], 1e-12)
+        gi, gp0, dg = _gridspace_ray(med, mid, o, d)
+        sigm = jnp.mean(med.sigma_t[mid], axis=-1) * med.scale[mid]
 
         def cond(state):
             step, t_cur, done, _ = state
@@ -173,17 +229,22 @@ def sample_distance(med: MediumTable, static_types, medium_id, o, d, t_surf,
         def body(state):
             step, t_cur, done, scat = state
             u2 = rng_mod.uniform2(seed, pixel, sample, dim + 2 + step)
-            t_new = t_cur - jnp.log(jnp.maximum(1.0 - u2[..., 0], 1e-20)) / maj
+            dmax, t_limit, outside = _super_step(med, gi, gp0, dg, t_cur)
+            maj_loc = jnp.maximum(sigm * dmax, 1e-12)
+            dt = -jnp.log(jnp.maximum(1.0 - u2[..., 0], 1e-20)) / maj_loc
+            t_new = t_cur + dt
+            crossed = t_new > t_limit            # incl. empty/outside cells
+            t_new = jnp.minimum(t_new, t_limit)
             past = t_new >= t_surf
             p_new = o + t_new[..., None] * d
             dens = _lookup_density(med, mid, p_new)
             sig_t_lum = jnp.mean(med.sigma_t[mid], axis=-1) * dens
-            real = u2[..., 1] < sig_t_lum / maj
+            real = (~crossed) & (u2[..., 1] < sig_t_lum / maj_loc)
             newly_scat = ~done & ~past & real & is_het
             newly_done = ~done & (past | newly_scat)
             return (
                 step + 1,
-                jnp.where(done, t_cur, t_new),
+                jnp.where(done, t_cur, jnp.minimum(t_new, t_surf)),
                 done | newly_done | ~is_het,
                 scat | newly_scat,
             )
@@ -226,8 +287,11 @@ def eval_transmittance(med: MediumTable, static_types, medium_id, o, d, dist,
         tr = jnp.where(is_h[..., None], tr_h, tr)
 
     if HETEROGENEOUS in static_types:
+        # ratio tracking against the supergrid's LOCAL majorants (null
+        # collisions only happen where density can be nonzero)
         is_het = in_medium & (med.type[mid] == HETEROGENEOUS)
-        maj = jnp.maximum(med.majorant[mid], 1e-12)
+        gi, gp0, dg = _gridspace_ray(med, mid, o, d)
+        sigm = jnp.mean(med.sigma_t[mid], axis=-1) * med.scale[mid]
 
         def cond(state):
             step, t_cur, done, _ = state
@@ -236,14 +300,20 @@ def eval_transmittance(med: MediumTable, static_types, medium_id, o, d, dist,
         def body(state):
             step, t_cur, done, w = state
             u2 = rng_mod.uniform2(seed, pixel, sample, dim + 32 + step)
-            t_new = t_cur - jnp.log(jnp.maximum(1.0 - u2[..., 0], 1e-20)) / maj
+            dmax, t_limit, _ = _super_step(med, gi, gp0, dg, t_cur)
+            maj_loc = jnp.maximum(sigm * dmax, 1e-12)
+            dt = -jnp.log(jnp.maximum(1.0 - u2[..., 0], 1e-20)) / maj_loc
+            t_new = t_cur + dt
+            crossed = t_new > t_limit
+            t_new = jnp.minimum(t_new, t_limit)
             past = t_new >= dist
             p_new = o + t_new[..., None] * d
             dens = _lookup_density(med, mid, p_new)
             sig_t_lum = jnp.mean(med.sigma_t[mid], axis=-1) * dens
-            ratio = jnp.clip(1.0 - sig_t_lum / maj, 0.0, 1.0)
-            w_new = jnp.where((~done & ~past), w * ratio, w)
-            return (step + 1, jnp.where(done, t_cur, t_new), done | past | ~is_het, w_new)
+            ratio = jnp.clip(1.0 - sig_t_lum / maj_loc, 0.0, 1.0)
+            w_new = jnp.where(~done & ~past & ~crossed, w * ratio, w)
+            return (step + 1, jnp.where(done, t_cur, t_new),
+                    done | past | ~is_het, w_new)
 
         init = (jnp.zeros((), jnp.int32), jnp.zeros(R), ~is_het, jnp.ones(R))
         _, _, _, w = jax.lax.while_loop(cond, body, init)

@@ -893,6 +893,32 @@ class SceneBuilder:
             if mm["grid"] >= 0:
                 smax = float(_np.mean(mm["sigma_t"])) * mm["scale"] *                     float(self.vol_grids[mm["grid"]].max())
             maj.append(max(smax, 1e-9))
+
+        # per-supercell raw-density majorants, dilated by one voxel
+        # (hgridvolume.cpp:216 role; see medium.SUPER_RES tracking)
+        from .medium import SUPER_RES as _S
+        if self.vol_grids:
+            super_maj = _np.zeros(
+                (len(self.vol_grids), _S, _S, _S), _np.float32)
+            for i, g in enumerate(self.vol_grids):
+                D_, H_, W_ = g.shape
+                for cz in range(_S):
+                    z0 = max(int(_np.floor(cz / _S * (D_ - 1))) - 1, 0)
+                    z1 = min(int(_np.ceil((cz + 1) / _S * (D_ - 1))) + 1,
+                             D_ - 1)
+                    for cy in range(_S):
+                        y0 = max(int(_np.floor(cy / _S * (H_ - 1))) - 1, 0)
+                        y1 = min(int(_np.ceil((cy + 1) / _S * (H_ - 1))) + 1,
+                                 H_ - 1)
+                        for cx in range(_S):
+                            x0 = max(int(_np.floor(cx / _S * (W_ - 1))) - 1, 0)
+                            x1 = min(
+                                int(_np.ceil((cx + 1) / _S * (W_ - 1))) + 1,
+                                W_ - 1)
+                            super_maj[i, cz, cy, cx] = g[
+                                z0:z1 + 1, y0:y1 + 1, x0:x1 + 1].max()
+        else:
+            super_maj = _np.ones((1, 1, 1, 1), _np.float32)
         return MediumTable(
             type=jnp.asarray([mm["type"] for mm in self.media], jnp.int32),
             sigma_t=jnp.asarray([mm["sigma_t"] for mm in self.media], jnp.float32),
@@ -912,6 +938,7 @@ class SceneBuilder:
             world_to_grid=jnp.asarray(
                 _np.stack([mm["world_to_grid"] for mm in self.media]), jnp.float32),
             majorant=jnp.asarray(maj, jnp.float32),
+            super_maj=jnp.asarray(super_maj),
         )
 
     # --- textures ---

@@ -148,3 +148,26 @@ def test_xml_include(tmp_path):
 
     ls = load_scene(str(tmp_path / "main.xml"))
     assert ls.static.n_spheres == 1
+
+
+def test_cli_multi_scene_jobs(tmp_path):
+    """CLI -j renders several scenes concurrently and matches the
+    sequential render bit-for-bit (mitsuba.cpp:223-227 P5 parity; the
+    per-(pixel,sample) counter RNG makes scheduling irrelevant)."""
+    import shutil
+
+    from mitsuba_tpu.__main__ import main
+
+    src = os.path.join(os.path.dirname(__file__), "..", "scenes", "cbox.xml")
+    a = tmp_path / "a.xml"
+    b = tmp_path / "b.xml"
+    shutil.copy(src, a)
+    shutil.copy(src, b)
+    args = ["-D", "spp=2", "-D", "res=8", "-p", "1", "-z", "-L", "error"]
+    assert main([str(a), str(b), "-j", "2"] + args) == 0
+    assert (tmp_path / "a.exr").exists() and (tmp_path / "b.exr").exists()
+    par = I.read_exr(str(tmp_path / "a.exr"))
+    (tmp_path / "a.exr").unlink()
+    assert main([str(a)] + args) == 0
+    seq = I.read_exr(str(tmp_path / "a.exr"))
+    np.testing.assert_array_equal(par, seq)

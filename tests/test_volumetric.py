@@ -235,3 +235,59 @@ def test_attenuated_transmittance_nested_slab():
         scene, static, o3, d, jnp.full(R, 1.9), jnp.full(R, -1, jnp.int32),
         0, pix, 0, 500))
     assert np.allclose(tr3, 0.0), tr3[0]
+
+
+def test_sparse_grid_hierarchical_majorants():
+    """Per-supercell majorants (src/volume/hgridvolume.cpp:216 role): in a
+    mostly-empty grid the tracker must (a) return transmittance exactly 1
+    through empty space (zero local majorant => pure DDA leaps, no null
+    collisions), and (b) agree with dense quadrature through the blob."""
+    import jax.numpy as jnp
+    from mitsuba_tpu.render import medium as med_mod
+    from mitsuba_tpu.render.scene import SceneBuilder
+
+    n = 33
+    grid = np.zeros((n, n, n), np.float32)
+    grid[12:21, 12:21, 12:21] = 1.0        # center blob
+    b = SceneBuilder()
+    b.add_medium_heterogeneous(grid, sigma_t=(4.0,) * 3, albedo=(0.0,) * 3)
+    b.add_sphere((0.5, 0.5, 0.5), 0.1, b.add_material())
+    b.add_constant_emitter((1.0,) * 3)
+    scene, static = b.build()
+    med = scene.media
+
+    # supergrid cells that only cover empty voxels really are zero
+    sm = np.asarray(med.super_maj)[0]
+    assert sm.max() == 1.0 and (sm == 0).sum() > sm.size // 2, sm.mean()
+
+    R = 16384
+    seed = jnp.asarray(0, jnp.int32)
+    pix = jnp.arange(R, dtype=jnp.int32)
+    smp = jnp.zeros((R,), jnp.int32)
+    mid = jnp.zeros((R,), jnp.int32)
+    act = jnp.ones((R,), bool)
+
+    def T(o, d, dist):
+        o = jnp.broadcast_to(jnp.asarray(o, jnp.float32), (R, 3))
+        d = jnp.broadcast_to(jnp.asarray(d, jnp.float32), (R, 3))
+        tr = med_mod.eval_transmittance(
+            med, {med_mod.HETEROGENEOUS}, mid, o, d,
+            jnp.full((R,), dist, jnp.float32), seed, pix, smp, 0, act)
+        return np.asarray(tr)[..., 0]
+
+    # (a) segment along an empty edge: every stochastic sample is exactly 1
+    t_empty = T([0.05, 0.05, 0.0], [0.0, 0.0, 1.0], 1.0)
+    np.testing.assert_array_equal(t_empty, 1.0)
+
+    # (b) segment through the blob center vs dense trapezoid quadrature of
+    # the trilinear density (sigma_t * integral of density)
+    t_blob = np.mean(T([0.5, 0.5, -0.2], [0.0, 0.0, 1.0], 1.4))
+    ts = np.linspace(0.0, 1.4, 4001)
+    z = np.clip((-0.2 + ts) * (n - 1), 0, n - 1)
+    z0 = np.floor(z).astype(int)
+    fz = z - z0
+    mid_v = 16  # x=y=0.5 -> voxel coord 16 exactly
+    dens = grid[z0, mid_v, mid_v] * (1 - fz) + grid[
+        np.minimum(z0 + 1, n - 1), mid_v, mid_v] * fz
+    ref = np.exp(-4.0 * np.trapezoid(dens, ts))
+    np.testing.assert_allclose(t_blob, ref, rtol=0.03)
