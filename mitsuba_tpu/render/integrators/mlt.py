@@ -59,6 +59,19 @@ STRAT_BIDIR = 0   # large restart (bidirectional mutation role)
 STRAT_LENS = 1    # perturb sensor/aperture dims only (mut_lens.cpp role)
 STRAT_CAUSTIC = 2  # perturb the last two bounce slots (mut_caustic.cpp role)
 STRAT_MCHAIN = 3  # perturb all bounce dims, keep the pixel (mut_mchain.cpp)
+STRAT_MANIFOLD = 4  # specular-manifold perturbation (mut_manifold.cpp role)
+
+MANIFOLD_THETA = 0.05  # cone half-angle of the exit-direction proposal
+
+
+def _manifold_capable(static) -> bool:
+    """The manifold perturbation targets analytic-sphere specular chains
+    (render/manifold.py scope); other scenes keep the 4-strategy set."""
+    from .. import bsdf as B
+
+    return static.n_spheres > 0 and (
+        B.DIELECTRIC in static.bsdf_types
+        or B.THIN_DIELECTRIC in static.bsdf_types)
 
 
 def n_slots(cfg: icommon.IntegratorConfig) -> int:
@@ -178,6 +191,52 @@ def _slot_masks_bdpt(nslots):
     return small_table, fresh_table_m
 
 
+def _manifold_proposal(scene, static, u_cur, u_prop, is_mani, seed, lane,
+                       step):
+    """Specular-manifold perturbation (mut_manifold.cpp:770 role): rotate
+    the light subpath's specular-chain exit direction inside a small
+    symmetric cone, Newton-solve the emission PSS pair that realizes it
+    (render/manifold.py), and return the |det domega/du| acceptance
+    correction. Lanes whose walk fails (no convergence, broken round trip,
+    or a non-area emitter) propose their current state (self-transition).
+    """
+    from . import bdpt as int_bdpt
+    from .. import bsdf as B
+    from .. import emitter as em_mod
+    from .. import manifold as mani
+
+    u4_e = u_cur[:, int_bdpt.DIM_LIGHT_EMIT, :]
+    u2_e = u_cur[:, int_bdpt.DIM_LIGHT_EMIT + 1, :2]
+    ers = em_mod.sample_ray(scene, static, u4_e, u2_e)
+    centers = scene.sph_center
+    radii = scene.sph_radius
+    mtyp = scene.materials.type[scene.sph_mat]
+    diel = (mtyp == B.DIELECTRIC) | (mtyp == B.THIN_DIELECTRIC)
+    etas = jnp.where(diel, scene.materials.eta[scene.sph_mat, 0], 1.0)
+
+    o_l, n_l = ers.o, ers.n
+    tr = jax.vmap(mani.chain_exit_dir, in_axes=(0, 0, 0, None, None, None))
+    d0 = tr(u2_e, o_l, n_l, centers, radii, etas)
+    r2 = rng_mod.uniform2(seed + 48611, lane, step, 1)
+    d_t = mani.perturb_cone(d0, r2, MANIFOLD_THETA)
+    u_new, ok_f = mani.solve_exit_dir(u2_e, o_l, n_l, d_t,
+                                      centers, radii, etas)
+    # reverse walk must reproduce the current coordinates, else the move
+    # is not reversible (multi-root chain maps) and must self-transition
+    u_back, ok_r = mani.solve_exit_dir(u_new, o_l, n_l, d0,
+                                       centers, radii, etas)
+    rt = jnp.max(jnp.abs(u_back - u2_e), axis=-1) < 1e-3
+    det0 = mani.det_omega(u2_e, o_l, n_l, centers, radii, etas)
+    det1 = mani.det_omega(u_new, o_l, n_l, centers, radii, etas)
+    ok = is_mani & ers.valid & ers.is_area & ok_f & ok_r & rt & (det1 > 1e-12)
+    jac_ratio = jnp.where(ok, m.safe_div(det0, det1), 1.0)
+    base2 = u_prop[:, int_bdpt.DIM_LIGHT_EMIT + 1, :2]
+    new2 = jnp.where(ok[:, None], u_new, u2_e)
+    out2 = jnp.where(is_mani[:, None], new2, base2)
+    u_prop = u_prop.at[:, int_bdpt.DIM_LIGHT_EMIT + 1, :2].set(out2)
+    return u_prop, jac_ratio
+
+
 class ChainState(NamedTuple):
     u: jnp.ndarray      # (R, S, 4) current PSS tables
     L: jnp.ndarray      # (R, 3) current contributions
@@ -275,17 +334,26 @@ def chain_steps(scene, static, sensor, cfg, width, height, seed,
         r_mut = fresh_table(seed + 32452843, lane, step, nslots)
         u_fresh = fresh_table(seed, lane, step, nslots)
 
+        jac_ratio = jnp.ones((R,))
         if mlt_mode:
             # mlt.cpp strategy portfolio, acting structurally on the BDPT
             # subpath coordinates: bidirectional mutation (regenerate the
             # light subpath; occasionally the whole pair for ergodicity),
-            # lens / caustic / multi-chain perturbations
-            strat = jnp.minimum((r_sel[:, 0] * 4).astype(jnp.int32), 3)
+            # lens / caustic / multi-chain / manifold perturbations
+            n_strat = 5 if _manifold_capable(static) else 4
+            strat = jnp.minimum((r_sel[:, 0] * n_strat).astype(jnp.int32),
+                                n_strat - 1)
             small_m, fresh_m = _slot_masks_bdpt(nslots)
-            mask_s = small_m[strat][:, :, None]
-            mask_f = fresh_m[strat][:, :, None]
+            s4 = jnp.minimum(strat, 3)
+            not_mani = (strat < 4)[:, None, None]
+            mask_s = small_m[s4][:, :, None] & not_mani
+            mask_f = fresh_m[s4][:, :, None] & not_mani
             u_prop = jnp.where(mask_s, small_step(st.u, r_mut), st.u)
             u_prop = jnp.where(mask_f, u_fresh, u_prop)
+            if n_strat == 5:
+                u_prop, jac_ratio = _manifold_proposal(
+                    scene, static, st.u, u_prop, strat == STRAT_MANIFOLD,
+                    seed, lane, step)
         else:
             large = r_sel[:, 0] < cfg.p_large
             u_small = small_step(st.u, r_mut)
@@ -294,7 +362,10 @@ def chain_steps(scene, static, sensor, cfg, width, height, seed,
         L2, I2, pos2, sp_uv2, sp_val2 = _eval_state(
             scene, static, sensor, cfg, width, height, u_prop, mlt_mode)
 
-        a = jnp.where(st.I > 0, jnp.minimum(1.0, m.safe_div(I2, st.I)), 1.0)
+        # jac_ratio is the |det domega/du| pushforward correction of the
+        # manifold proposal (1 everywhere else)
+        a = jnp.where(st.I > 0,
+                      jnp.minimum(1.0, m.safe_div(I2, st.I) * jac_ratio), 1.0)
         w_prop = jnp.where(I2 > 0, a / jnp.maximum(I2, 1e-20), 0.0)
         w_cur = jnp.where(st.I > 0, (1.0 - a) / jnp.maximum(st.I, 1e-20), 0.0)
         film = splat_box(film, st.pos, st.L * w_cur[:, None], width, height)
