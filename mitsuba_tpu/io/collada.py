@@ -1,0 +1,405 @@
+"""COLLADA (.dae) scene importer — the mtsimport converter tier
+(reference: src/converter/collada.cpp:1688, converter.cpp; CLI
+src/converter/mtsimport.cpp).
+
+The reference walks the COLLADA DOM with an external library and emits a
+Mitsuba XML scene plus ``.serialized`` geometry. This importer does the
+same with the standard-library ``xml.etree`` parser: geometry
+(``library_geometries`` triangles/polylist with VERTEX/NORMAL/TEXCOORD
+inputs, polygon fans triangulated), the visual-scene node hierarchy with
+``matrix``/``translate``/``rotate``/``scale`` transforms, materials
+(``library_effects`` lambert/phong/blinn diffuse color or texture),
+cameras (perspective xfov/yfov) and point/directional lights. Output is
+a ``.serialized`` multi-mesh blob + a scene XML in the reference's own
+syntax, loadable by io.mitsuba_xml.load_scene — so COLLADA content flows
+into the TPU renderer exactly like the reference's converter output flows
+into Mitsuba.
+
+Entry points: ``convert(dae_path, out_xml)`` or
+``python -m mitsuba_tpu.mtsimport scene.dae scene.xml``.
+"""
+from __future__ import annotations
+
+import os
+import re
+import xml.etree.ElementTree as ET
+from xml.sax.saxutils import escape
+
+import numpy as np
+
+from .mesh import MeshData, save_serialized
+
+
+def _strip(tag):
+    return tag.split("}")[-1]
+
+
+def _ns(root):
+    mm = re.match(r"\{(.*)\}", root.tag)
+    return mm.group(1) if mm else ""
+
+
+class _Doc:
+    def __init__(self, root):
+        self.root = root
+        self.ns = _ns(root)
+        self.by_id = {}
+        for el in root.iter():
+            i = el.get("id")
+            if i is not None:
+                self.by_id[i] = el
+
+    def f(self, el, name):
+        """find first child with local tag name."""
+        for c in el:
+            if _strip(c.tag) == name:
+                return c
+        return None
+
+    def fa(self, el, name):
+        return [c for c in el if _strip(c.tag) == name]
+
+    def ref(self, url):
+        return self.by_id.get((url or "").lstrip("#"))
+
+
+def _floats(text):
+    if not text or not text.strip():
+        return np.zeros(0)
+    return np.asarray(text.split(), dtype=np.float64)
+
+
+def _ints(text):
+    if not text or not text.strip():
+        return np.zeros(0, np.int64)
+    return np.asarray(text.split(), dtype=np.int64)
+
+
+def _source_array(doc, src_el):
+    """COLLADA <source> -> (N, stride) float array honoring the accessor."""
+    fa = doc.f(src_el, "float_array")
+    data = _floats(fa.text if fa is not None else "")
+    tc = doc.f(src_el, "technique_common")
+    acc = doc.f(tc, "accessor") if tc is not None else None
+    stride = int(acc.get("stride", "1")) if acc is not None else 3
+    n = len(data) // stride
+    return data[:n * stride].reshape(n, stride)
+
+
+def _parse_prims(doc, geom, prim):
+    """One <triangles>/<polylist>/<polygons> element -> MeshData."""
+    inputs = {}
+    max_off = 0
+    for inp in doc.fa(prim, "input"):
+        sem = inp.get("semantic")
+        off = int(inp.get("offset", "0"))
+        max_off = max(max_off, off)
+        src = doc.ref(inp.get("source"))
+        if sem == "VERTEX" and src is not None:
+            # indirection through <vertices>
+            pos_in = doc.f(src, "input")
+            src = doc.ref(pos_in.get("source")) if pos_in is not None else None
+        if src is not None:
+            inputs[sem] = (off, _source_array(doc, src))
+    if "VERTEX" not in inputs:
+        return None
+    width = max_off + 1
+    kind = _strip(prim.tag)
+    p_el = doc.f(prim, "p")
+    idx = _ints(p_el.text if p_el is not None else "")
+    tris = []
+    if kind == "triangles":
+        idx = idx.reshape(-1, 3 * width)
+        for k in range(3):
+            tris.append(idx[:, k * width:(k + 1) * width])
+        corner_rows = np.stack(tris, axis=1).reshape(-1, width)
+    else:  # polylist / polygons: triangulate each polygon as a fan
+        vc_el = doc.f(prim, "vcount")
+        if vc_el is not None:
+            vcount = _ints(vc_el.text)
+        else:
+            vcount = np.full(int(prim.get("count", "0")), 3, np.int64)
+        rows = idx.reshape(-1, width)
+        corner_rows = []
+        pos = 0
+        for n in vcount:
+            for k in range(1, int(n) - 1):
+                corner_rows += [rows[pos], rows[pos + k], rows[pos + k + 1]]
+            pos += int(n)
+        if not corner_rows:
+            return None
+        corner_rows = np.stack(corner_rows)
+    # de-duplicate full corner index tuples into shared vertices
+    uniq, inv = np.unique(corner_rows, axis=0, return_inverse=True)
+    faces = inv.reshape(-1, 3).astype(np.int64)
+    v_off, v_src = inputs["VERTEX"]
+    positions = v_src[uniq[:, v_off], :3]
+    normals = uvs = None
+    if "NORMAL" in inputs:
+        n_off, n_src = inputs["NORMAL"]
+        normals = n_src[uniq[:, n_off], :3]
+    if "TEXCOORD" in inputs:
+        t_off, t_src = inputs["TEXCOORD"]
+        uvs = t_src[uniq[:, t_off], :2]
+    return MeshData(
+        positions=positions, faces=faces, normals=normals, uvs=uvs,
+        name=geom.get("id", "mesh"),
+        material=prim.get("material", ""),
+    )
+
+
+def _node_transform(doc, node):
+    """Compose a node's matrix/translate/rotate/scale children in order
+    (collada.cpp handles the same four transform tags)."""
+    T = np.eye(4)
+    for c in node:
+        tag = _strip(c.tag)
+        vals = _floats(c.text or "")
+        M = None
+        if tag == "matrix" and len(vals) == 16:
+            M = vals.reshape(4, 4)
+        elif tag == "translate" and len(vals) == 3:
+            M = np.eye(4)
+            M[:3, 3] = vals
+        elif tag == "scale" and len(vals) == 3:
+            M = np.diag(list(vals) + [1.0])
+        elif tag == "rotate" and len(vals) == 4:
+            x, y, z, ang = vals
+            a = np.deg2rad(ang)
+            n = np.asarray([x, y, z])
+            n = n / max(np.linalg.norm(n), 1e-12)
+            K = np.asarray([[0, -n[2], n[1]], [n[2], 0, -n[0]],
+                            [-n[1], n[0], 0]])
+            R = np.eye(3) + np.sin(a) * K + (1 - np.cos(a)) * (K @ K)
+            M = np.eye(4)
+            M[:3, :3] = R
+        if M is not None:
+            T = T @ M
+    return T
+
+
+def _effect_diffuse(doc, effect):
+    """lambert/phong/blinn diffuse: rgb color or texture image path."""
+    for shading in ("lambert", "phong", "blinn", "constant"):
+        for el in effect.iter():
+            if _strip(el.tag) != shading:
+                continue
+            diff = doc.f(el, "diffuse")
+            if diff is None:
+                continue
+            col = doc.f(diff, "color")
+            if col is not None:
+                return tuple(_floats(col.text)[:3]), None
+            tex = doc.f(diff, "texture")
+            if tex is not None:
+                # texture -> sampler -> surface -> image chain, with the
+                # common shortcut of the texture attribute naming the image
+                ref = tex.get("texture", "")
+                img = doc.by_id.get(ref)
+                for el2 in effect.iter():
+                    if _strip(el2.tag) == "init_from" and el2.text:
+                        img = el2
+                        break
+                if img is not None:
+                    path = img.text if _strip(img.tag) == "init_from" else None
+                    if path is None:
+                        init = None
+                        for sub in img.iter():
+                            if _strip(sub.tag) == "init_from":
+                                init = sub.text
+                        path = init
+                    return (1.0, 1.0, 1.0), path
+    return (0.5, 0.5, 0.5), None
+
+
+def convert(dae_path: str, out_xml: str, spp: int = 64, size=(512, 512)):
+    """Convert a COLLADA file to scene XML + .serialized geometry.
+
+    Returns the output XML path. The XML uses the reference scene syntax
+    so it loads through io.mitsuba_xml.load_scene (and would load in the
+    reference renderer modulo the converter's usual fixups)."""
+    tree = ET.parse(dae_path)
+    doc = _Doc(tree.getroot())
+    # up-axis handling (collada.cpp converts Z_UP scenes to Y_UP)
+    up = "Y_UP"
+    for el in doc.root.iter():
+        if _strip(el.tag) == "up_axis" and el.text:
+            up = el.text.strip()
+    up_fix = np.eye(4)
+    if up == "Z_UP":
+        up_fix = np.asarray([[1, 0, 0, 0], [0, 0, 1, 0],
+                             [0, -1, 0, 0], [0, 0, 0, 1]], float)
+    elif up == "X_UP":
+        up_fix = np.asarray([[0, 1, 0, 0], [-1, 0, 0, 0],
+                             [0, 0, 1, 0], [0, 0, 0, 1]], float)
+
+    # geometries
+    geoms = {}
+    for lib in doc.root.iter():
+        if _strip(lib.tag) != "library_geometries":
+            continue
+        for geom in doc.fa(lib, "geometry"):
+            mesh_el = doc.f(geom, "mesh")
+            if mesh_el is None:
+                continue
+            prims = []
+            for prim in mesh_el:
+                if _strip(prim.tag) in ("triangles", "polylist", "polygons"):
+                    md = _parse_prims(doc, geom, prim)
+                    if md is not None and len(md.faces):
+                        prims.append(md)
+            if prims:
+                geoms[geom.get("id")] = prims
+
+    # materials -> diffuse descriptions
+    mats = {}
+    for lib in doc.root.iter():
+        if _strip(lib.tag) != "library_materials":
+            continue
+        for mat in doc.fa(lib, "material"):
+            ie = doc.f(mat, "instance_effect")
+            eff = doc.ref(ie.get("url")) if ie is not None else None
+            rgb, tex = _effect_diffuse(doc, eff) if eff is not None else (
+                (0.5, 0.5, 0.5), None)
+            mats[mat.get("id")] = (rgb, tex)
+
+    # visual scene traversal
+    instances = []   # (mesh list, world transform, material binding)
+    cameras = []
+    lights = []
+
+    def walk(node, T):
+        T = T @ _node_transform(doc, node)
+        for c in node:
+            tag = _strip(c.tag)
+            if tag == "instance_geometry":
+                g = (c.get("url") or "").lstrip("#")
+                bind = {}
+                for bm in c.iter():
+                    if _strip(bm.tag) == "instance_material":
+                        bind[bm.get("symbol")] = (
+                            bm.get("target") or "").lstrip("#")
+                if g in geoms:
+                    instances.append((g, T.copy(), bind))
+            elif tag == "instance_camera":
+                cam = doc.ref(c.get("url"))
+                if cam is not None:
+                    fov = 45.0
+                    for el in cam.iter():
+                        if _strip(el.tag) in ("xfov", "yfov") and el.text:
+                            fov = float(el.text)
+                    cameras.append((T.copy(), fov))
+            elif tag == "instance_light":
+                li = doc.ref(c.get("url"))
+                if li is not None:
+                    color = (1.0, 1.0, 1.0)
+                    kind = "point"
+                    for el in li.iter():
+                        t2 = _strip(el.tag)
+                        if t2 in ("point", "directional", "ambient"):
+                            kind = t2
+                        if t2 == "color" and el.text:
+                            color = tuple(_floats(el.text)[:3])
+                    lights.append((kind, T.copy(), color))
+            elif tag == "node":
+                walk(c, T)
+
+    for lib in doc.root.iter():
+        if _strip(lib.tag) == "library_visual_scenes":
+            for vs in doc.fa(lib, "visual_scene"):
+                for node in doc.fa(vs, "node"):
+                    walk(node, up_fix)
+
+    # write the serialized multi-mesh blob (instances flattened: the
+    # reference emits one serialized shape per geometry instance)
+    out_dir = os.path.dirname(os.path.abspath(out_xml))
+    os.makedirs(out_dir, exist_ok=True)
+    base = os.path.splitext(os.path.basename(out_xml))[0]
+    ser_path = os.path.join(out_dir, base + ".serialized")
+    flat = []
+    shape_entries = []
+    for g, T, bind in instances:
+        for md in geoms[g]:
+            mat_id = bind.get(md.material, md.material)
+            rgb, tex = mats.get(mat_id, ((0.5, 0.5, 0.5), None))
+            flat.append(md)
+            shape_entries.append((len(flat) - 1, T, rgb, tex))
+    if not flat:   # geometry libraries without a scene graph
+        for g, prims in geoms.items():
+            for md in prims:
+                rgb, tex = mats.get(md.material, ((0.5, 0.5, 0.5), None))
+                flat.append(md)
+                shape_entries.append((len(flat) - 1, np.eye(4), rgb, tex))
+    save_serialized(ser_path, flat)
+
+    # emit reference-syntax XML
+    lines = ['<?xml version="1.0" encoding="utf-8"?>',
+             '<scene version="0.6.0">',
+             '    <integrator type="path"/>']
+    if cameras:
+        T, fov = cameras[0]
+        # COLLADA cameras look down local -Z; the scene syntax looks +Z
+        # (collada.cpp applies the same handedness fixup)
+        T = T @ np.diag([-1.0, 1.0, -1.0, 1.0])
+        M = " ".join("%.8g" % x for x in T.flatten())
+        lines += [
+            '    <sensor type="perspective">',
+            f'        <float name="fov" value="{fov:.6g}"/>',
+            '        <transform name="toWorld">',
+            f'            <matrix value="{M}"/>',
+            '        </transform>',
+            f'        <sampler type="independent">'
+            f'<integer name="sampleCount" value="{spp}"/></sampler>',
+            '        <film type="hdrfilm">',
+            f'            <integer name="width" value="{size[0]}"/>',
+            f'            <integer name="height" value="{size[1]}"/>',
+            '        </film>',
+            '    </sensor>']
+    for kind, T, color in lights:
+        rgb = ", ".join("%.6g" % x for x in color)
+        p = T @ np.asarray([0.0, 0.0, 0.0, 1.0])
+        d = T[:3, :3] @ np.asarray([0.0, 0.0, -1.0])
+        if kind == "point":
+            lines += [
+                '    <emitter type="point">',
+                f'        <point name="position" x="{p[0]:.8g}" '
+                f'y="{p[1]:.8g}" z="{p[2]:.8g}"/>',
+                f'        <rgb name="intensity" value="{rgb}"/>',
+                '    </emitter>']
+        elif kind == "directional":
+            lines += [
+                '    <emitter type="directional">',
+                f'        <vector name="direction" x="{d[0]:.8g}" '
+                f'y="{d[1]:.8g}" z="{d[2]:.8g}"/>',
+                f'        <rgb name="irradiance" value="{rgb}"/>',
+                '    </emitter>']
+        else:  # ambient
+            lines += [
+                '    <emitter type="constant">',
+                f'        <rgb name="radiance" value="{rgb}"/>',
+                '    </emitter>']
+    for i, (shape_idx, T, rgb, tex) in enumerate(shape_entries):
+        M = " ".join("%.8g" % x for x in T.flatten())
+        col = ", ".join("%.6g" % x for x in rgb)
+        lines += [
+            '    <shape type="serialized">',
+            f'        <string name="filename" '
+            f'value="{escape(os.path.basename(ser_path))}"/>',
+            f'        <integer name="shapeIndex" value="{shape_idx}"/>',
+            '        <transform name="toWorld">',
+            f'            <matrix value="{M}"/>',
+            '        </transform>',
+            '        <bsdf type="diffuse">']
+        if tex:
+            lines += [
+                '            <texture name="reflectance" type="bitmap">',
+                f'                <string name="filename" '
+                f'value="{escape(tex)}"/>',
+                '            </texture>']
+        else:
+            lines += [f'            <rgb name="reflectance" value="{col}"/>']
+        lines += ['        </bsdf>', '    </shape>']
+    lines.append('</scene>')
+    with open(out_xml, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    return out_xml

@@ -792,17 +792,20 @@ class SceneBuilder:
 
     # --- subsurface (src/subsurface/dipole.cpp parity) ---
     def add_subsurface(self, sigma_s=(1.0,) * 3, sigma_a=(0.05,) * 3,
-                       g: float = 0.0, eta: float = 1.3) -> int:
-        """Register a dipole BSSRDF profile; reference it from
-        add_material(subsurface=id). Call mitsuba_tpu.render.subsurface.
-        prepare(scene, static) once after build() to sample the irradiance
-        point cloud."""
+                       g: float = 0.0, eta: float = 1.3,
+                       mode: int = 0) -> int:
+        """Register a subsurface profile; reference it from
+        add_material(subsurface=id). mode 0 = dipole BSSRDF (call
+        mitsuba_tpu.render.subsurface.prepare(scene, static) once after
+        build() to sample the irradiance point cloud); mode 1 = exact
+        refracted single scattering (singlescatter.cpp), no preparation
+        needed."""
         if not hasattr(self, "_subsurfaces"):
             self._subsurfaces = []
         self._subsurfaces.append(dict(
             sigma_s=tuple(np.asarray(sigma_s, float)),
             sigma_a=tuple(np.asarray(sigma_a, float)),
-            g=float(g), eta=float(eta)))
+            g=float(g), eta=float(eta), mode=int(mode)))
         return len(self._subsurfaces) - 1
 
     def _build_sss(self):
@@ -817,6 +820,7 @@ class SceneBuilder:
                 sigma_a=jnp.asarray([s["sigma_a"] for s in subs], jnp.float32),
                 g=jnp.asarray([s["g"] for s in subs], jnp.float32),
                 eta=jnp.asarray([s["eta"] for s in subs], jnp.float32),
+                mode=jnp.asarray([s.get("mode", 0) for s in subs], jnp.int32),
             )
         return t
 

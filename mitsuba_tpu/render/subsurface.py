@@ -31,12 +31,17 @@ from ..core import math as m
 from ..core import rng as rng_mod
 
 
+MODE_DIPOLE = 0         # dipole.cpp diffusion profile
+MODE_SINGLESCATTER = 1  # singlescatter.cpp refracted single scattering
+
+
 class SSSTable(NamedTuple):
     mat_sss: jnp.ndarray     # (M,) int32 per-material subsurface id (-1)
     sigma_s: jnp.ndarray     # (S, 3)
     sigma_a: jnp.ndarray     # (S, 3)
     g: jnp.ndarray           # (S,)
     eta: jnp.ndarray         # (S,)
+    mode: jnp.ndarray        # (S,) int32 MODE_*
     points_p: jnp.ndarray    # (N, 3) irradiance sample positions
     points_n: jnp.ndarray    # (N, 3) surface normals at the samples
     points_E: jnp.ndarray    # (N, 3) irradiance estimates
@@ -51,6 +56,7 @@ class SSSTable(NamedTuple):
             sigma_a=jnp.ones((1, 3)) * 0.1,
             g=jnp.zeros((1,)),
             eta=jnp.full((1,), 1.3),
+            mode=jnp.zeros((1,), jnp.int32),
             points_p=jnp.zeros((1, 3)),
             points_n=jnp.asarray([[0.0, 0.0, 1.0]]),
             points_E=jnp.zeros((1, 3)),
@@ -143,8 +149,8 @@ def eval_lo(scene, its, d_world):
     sss = scene.sss
     mid = jnp.maximum(its.mat_id, 0)
     sid = sss.mat_sss[mid]
-    lane = sid >= 0
     sidc = jnp.maximum(sid, 0)
+    lane = (sid >= 0) & (sss.mode[sidc] == MODE_DIPOLE)
 
     # (R, N) squared distances -> Rd reduction
     diff = its.p[:, None, :] - sss.points_p[None, :, :]
@@ -163,24 +169,111 @@ def eval_lo(scene, its, d_world):
     return jnp.where(lane[..., None], lo, 0.0)
 
 
-def single_scatter_lo(scene, its, d_world, nee_radiance, nee_dir, nee_cos):
-    """First-order single scattering along the refracted ray
-    (singlescatter.cpp reduced to its dominant term): the integrator's NEE
-    sample attenuated by one interior scattering event.
+def _hg(cos_theta, g):
+    """Henyey-Greenstein phase value p(cos) (normalized over the sphere)."""
+    den = 1.0 + g * g - 2.0 * g * cos_theta
+    return (1.0 - g * g) / (4.0 * jnp.pi * jnp.maximum(den, 1e-8) ** 1.5)
 
-    Lo_1 ~ sigma_s * phase_iso * Ft_in * Ft_out * E_nee / sigma_t
-    (closed-form expected value of exp(-sigma_t s) * sigma_s ds along the
-    unrefracted chord; the reference marches the true refracted ray)."""
+
+def exact_single_scatter(scene, static, its, d, seed, pixel, sample, dim,
+                         active):
+    """Refracted single scattering (src/subsurface/singlescatter.cpp fast
+    mode, LoSingle ~1404-1487): refract the camera ray into the medium,
+    importance-sample one interior scattering vertex V along the refracted
+    chord (truncated exponential), connect V straight to a sampled light
+    point through the boundary exit P found by a real scene trace, and
+    weight by Walter et al. 2009's refracted-connection factor
+    D = (dV + eta dL)(|cosL/cosV| dV + |cosV/cosL| eta dL), HG phase,
+    Beer-Lambert attenuation over (s + dV), and both Fresnel
+    transmittances (the eta^2 radiance scaling of the entering ray
+    included, singlescatter.cpp:1406). One estimator sample per bounce;
+    the TIR recursion of the reference is not followed (documented).
+
+    RNG: consumes one uniform4 at ``dim`` (distance + light sample).
+    Returns (R, 3), zero off singlescatter lanes.
+    """
+    from . import emitter as em_mod
+    from . import scene as scene_mod
+    from .integrators.common import ray_offset
+
     sss = scene.sss
     mid = jnp.maximum(its.mat_id, 0)
     sid = sss.mat_sss[mid]
-    lane = sid >= 0
     sidc = jnp.maximum(sid, 0)
-    sigma_t = sss.sigma_s[sidc] + sss.sigma_a[sidc]
-    w = m.safe_div(sss.sigma_s[sidc], sigma_t) * (1.0 / (4.0 * jnp.pi))
-    cos_o = jnp.abs(m.dot(-d_world, its.sh_frame.n))
-    ft_o = 1.0 - m.fresnel_dielectric(cos_o, sss.eta[sidc])[0]
-    ft_i = 1.0 - m.fresnel_dielectric(jnp.maximum(nee_cos, 0.0),
-                                      sss.eta[sidc])[0]
-    lo = w * (ft_o * ft_i)[..., None] * nee_radiance
+    lane = active & (sid >= 0) & (sss.mode[sidc] == MODE_SINGLESCATTER)
+    eta = sss.eta[sidc]
+    sig_s = sss.sigma_s[sidc]
+    sig_t = sig_s + sss.sigma_a[sidc]
+    g = sss.g[sidc]
+    sig_lum = jnp.maximum(jnp.mean(sig_t, axis=-1), 1e-6)
+    radius = 1.0 / sig_lum                     # m_radius: mean free path
+
+    # entry refraction of the eye ray (d points toward the surface); only
+    # hits arriving from OUTSIDE start a subsurface chord (the reference
+    # evaluates Lo at the entry interface)
+    wi = -d
+    n = its.sh_frame.n
+    outside = m.dot(wi, its.gn) > 0.0
+    lane = lane & outside
+    n_or = jnp.where(m.dot(wi, n)[..., None] > 0, n, -n)
+    cos_i = m.dot(wi, n_or)
+    F_in, _ = m.fresnel_dielectric(cos_i, eta)
+    ok_r, d_int = m.refract(wi, n_or, eta)
+    lane = lane & ok_r
+
+    # interior chord thickness by a real trace (the reference's its2)
+    o_in = ray_offset(its.p, -n_or, d_int)
+    its2 = scene_mod.ray_intersect(scene, static, o_in, d_int, 1e-4,
+                                   jnp.inf, active=lane)
+    lane = lane & its2.valid
+    thickness = jnp.where(its2.valid, its2.t, 10.0 * radius)
+
+    u = rng_mod.uniform4(seed, pixel, sample, dim)
+
+    # light sample at the ENTRY point (dRec(its.p), singlescatter.cpp:1404)
+    ds = em_mod.sample_direct(scene, static, its.p, u[..., 1:4])
+    lane = lane & ds.valid & (ds.pdf_sa > 1e-12)
+    value = (eta * eta)[..., None] * m.safe_div(
+        ds.radiance, ds.pdf_sa[..., None])
+    Lp = its.p + ds.d * ds.dist[..., None]
+
+    # truncated-exponential distance along the refracted ray
+    sMax = 1.0 - jnp.exp(-thickness / radius)
+    dist = -radius * jnp.log(jnp.maximum(1.0 - u[..., 0] * sMax, 1e-20))
+    dist = jnp.minimum(dist, thickness)
+    V = o_in + dist[..., None] * d_int
+    w_dist = radius * sMax * jnp.exp(dist / radius)   # 1/pdf(dist)
+
+    # straight connection V -> light; boundary exit by a real trace
+    VL = Lp - V
+    dVL = jnp.maximum(m.length(VL), 1e-9)
+    dir_VL = VL / dVL[..., None]
+    its3 = scene_mod.ray_intersect(scene, static, V, dir_VL, 1e-4, jnp.inf,
+                                   active=lane)
+    dV = its3.t
+    lane = lane & its3.valid & (dV < dVL)
+    dL = jnp.maximum(dVL - dV, 1e-9)
+    P = its3.p
+    n3 = its3.sh_frame.n
+    cosL = m.dot(dir_VL, n3)
+    cosV = -cosL  # straight connection: same line through the boundary
+    lane = lane & (jnp.abs(cosL) > 1e-6)
+
+    # shadow segment P -> light
+    o_sh = ray_offset(P, jnp.where(cosL[..., None] > 0, n3, -n3), dir_VL)
+    vis = ~scene_mod.occluded(scene, static, o_sh, dir_VL, 0.0,
+                              dL * (1.0 - 1e-3), active=lane)
+    lane = lane & vis
+
+    F_out, _ = m.fresnel_dielectric(jnp.abs(cosL), eta)
+    D = (dV + eta * dL) * (
+        jnp.abs(m.safe_div(cosL, cosV)) * dV
+        + jnp.abs(m.safe_div(cosV, cosL)) * eta * dL)
+    phase = _hg(m.dot(d_int, dir_VL), g)
+    tr = jnp.exp(-sig_t * (dist + dV)[..., None])
+
+    lo = (sig_s * tr * value
+          * ((1.0 - F_in) * (1.0 - F_out)
+             * m.safe_div(jnp.ones_like(D), D)
+             * phase * (ds.dist ** 2) * w_dist)[..., None])
     return jnp.where(lane[..., None], lo, 0.0)

@@ -171,3 +171,106 @@ def test_cli_multi_scene_jobs(tmp_path):
     assert main([str(a)] + args) == 0
     seq = I.read_exr(str(tmp_path / "a.exr"))
     np.testing.assert_array_equal(par, seq)
+
+
+_DAE = """<?xml version="1.0" encoding="utf-8"?>
+<COLLADA xmlns="http://www.collada.org/2005/11/COLLADASchema" version="1.4.1">
+  <asset><up_axis>Z_UP</up_axis></asset>
+  <library_effects>
+    <effect id="fx-red"><profile_COMMON><technique sid="common">
+      <lambert><diffuse><color>0.8 0.1 0.1 1</color></diffuse></lambert>
+    </technique></profile_COMMON></effect>
+  </library_effects>
+  <library_materials>
+    <material id="mat-red"><instance_effect url="#fx-red"/></material>
+  </library_materials>
+  <library_geometries>
+    <geometry id="quad"><mesh>
+      <source id="quad-pos">
+        <float_array id="quad-pos-arr" count="12">
+          -1 -1 0  1 -1 0  1 1 0  -1 1 0</float_array>
+        <technique_common><accessor source="#quad-pos-arr" count="4"
+          stride="3"/></technique_common>
+      </source>
+      <source id="quad-nrm">
+        <float_array id="quad-nrm-arr" count="3">0 0 1</float_array>
+        <technique_common><accessor source="#quad-nrm-arr" count="1"
+          stride="3"/></technique_common>
+      </source>
+      <vertices id="quad-vtx"><input semantic="POSITION"
+        source="#quad-pos"/></vertices>
+      <polylist material="m0" count="1">
+        <input semantic="VERTEX" source="#quad-vtx" offset="0"/>
+        <input semantic="NORMAL" source="#quad-nrm" offset="1"/>
+        <vcount>4</vcount>
+        <p>0 0 1 0 2 0 3 0</p>
+      </polylist>
+    </mesh></geometry>
+  </library_geometries>
+  <library_lights>
+    <light id="sun"><technique_common><point>
+      <color>30 30 30</color></point></technique_common></light>
+  </library_lights>
+  <library_cameras>
+    <camera id="cam"><optics><technique_common><perspective>
+      <yfov>45</yfov></perspective></technique_common></optics></camera>
+  </library_cameras>
+  <library_visual_scenes>
+    <visual_scene id="vs">
+      <node id="n1">
+        <translate>0 0 2</translate>
+        <rotate>1 0 0 90</rotate>
+        <instance_geometry url="#quad">
+          <bind_material><technique_common>
+            <instance_material symbol="m0" target="#mat-red"/>
+          </technique_common></bind_material>
+        </instance_geometry>
+      </node>
+      <node id="n2"><translate>0 -3 2</translate>
+        <instance_light url="#sun"/></node>
+      <node id="n3">
+        <matrix>1 0 0 0  0 0 -1 -3  0 1 0 2  0 0 0 1</matrix>
+        <instance_camera url="#cam"/>
+      </node>
+    </visual_scene>
+  </library_visual_scenes>
+  <scene><instance_visual_scene url="#vs"/></scene>
+</COLLADA>
+"""
+
+
+def test_mtsimport_collada_roundtrip(tmp_path):
+    """mtsimport parity (src/converter/collada.cpp): a COLLADA scene with
+    a Z-up polylist quad, bound material, node transforms, and a point
+    light converts to scene XML + .serialized that loads and renders."""
+    from mitsuba_tpu.io.collada import convert
+    from mitsuba_tpu.io.mitsuba_xml import load_scene
+    from mitsuba_tpu.render import api
+
+    dae = tmp_path / "scene.dae"
+    dae.write_text(_DAE)
+    out = tmp_path / "scene.xml"
+    convert(str(dae), str(out), spp=4, size=(8, 8))
+    assert out.exists() and (tmp_path / "scene.serialized").exists()
+
+    ls = load_scene(str(out))
+    assert ls.static.n_tris == 2          # quad fan-triangulated
+    img = np.asarray(api.render(ls.scene, ls.static, ls.sensor,
+                                ls.integrator, ls.settings))
+    assert np.isfinite(img).all()
+    # the red diffuse quad lit by the point light: red mean dominates
+    assert img[..., 0].mean() > img[..., 1].mean() * 2
+    assert img[..., 0].mean() > 1e-4
+
+
+def test_mtsimport_obj_cli(tmp_path):
+    """mtsimport OBJ mode writes serialized + XML wrapper that loads."""
+    from mitsuba_tpu import mtsimport
+    from mitsuba_tpu.io.mitsuba_xml import load_scene
+
+    obj = tmp_path / "tri.obj"
+    obj.write_text("v 0 0 0\nv 1 0 0\nv 0 1 0\nf 1 2 3\n")
+    out = tmp_path / "tri.xml"
+    assert mtsimport.main([str(obj), str(out), "-r", "8x8", "-s", "2"]) == 0
+    ls = load_scene(str(out))
+    assert ls.static.n_tris == 1

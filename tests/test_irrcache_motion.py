@@ -116,3 +116,46 @@ def test_motion_blur_snapshot_average():
                     < 0.9 * bg).sum())
     assert dark_cols(blurred) > dark_cols(parts[0]), (
         dark_cols(blurred), dark_cols(parts[0]))
+
+
+def test_irrcache_gradients_improve_extrapolation(cornell):
+    """Ward-Heckbert gradients (irrcache.cpp HemisphereSampler::process):
+    predicting a nearby record's irradiance by gradient extrapolation
+    E_i + (x_j - x_i) . tGrad_i must beat the zeroth-order prediction E_i
+    on aggregate, and rotational/translational gradients must be finite
+    and not identically zero."""
+    from mitsuba_tpu.render.integrators import irrcache as IC
+
+    scene, static = cornell
+    sens = S.make_perspective(CAM, 39.0, 16, 16)
+    cache = IC.build_cache(scene, static, sens, grid=16, n_hemi=256)
+    tg = np.asarray(cache.tgrad)
+    rg = np.asarray(cache.rgrad)
+    assert np.isfinite(tg).all() and np.isfinite(rg).all()
+    assert np.abs(tg).max() > 1e-6 and np.abs(rg).max() > 1e-6
+
+    p = np.asarray(cache.p)
+    n = np.asarray(cache.n)
+    E = np.asarray(cache.E)
+    valid = np.asarray(cache.valid)
+
+    err0 = []
+    err1 = []
+    C = len(p)
+    for i in range(C):
+        if not valid[i]:
+            continue
+        d2 = ((p - p[i]) ** 2).sum(-1)
+        d2[i] = np.inf
+        # coplanar close neighbor with matching normal (same wall)
+        cand = np.where(valid & (n @ n[i] > 0.99) & (d2 < 0.02))[0]
+        # gradients are first-order: only near coplanar pairs are a fair test
+        if not len(cand):
+            continue
+        j = cand[np.argmin(d2[cand])]
+        pred0 = E[i]
+        pred1 = np.maximum(E[i] + (p[j] - p[i]) @ tg[i], 0.0)
+        err0.append(np.abs(pred0 - E[j]).mean())
+        err1.append(np.abs(pred1 - E[j]).mean())
+    assert len(err0) > 50
+    assert np.mean(err1) < np.mean(err0), (np.mean(err1), np.mean(err0))

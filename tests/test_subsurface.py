@@ -58,3 +58,63 @@ def test_dipole_render_endtoend():
         assert np.isfinite(img).all() and img.min() >= 0.0
         means.append(img.mean())
     assert 0 < means[0] < means[1] < 8.0 / (2.0 * 2.0), means
+
+
+def test_singlescatter_matches_volpath_at_eta_one():
+    """Exact refracted single scattering (singlescatter.cpp fast mode):
+    at eta=1 the refraction is the identity and Walter's D factor reduces
+    to the plain inverse-square geometry term, so the estimator must agree
+    with an independently implemented reference — volpath on the SAME
+    sphere expressed as a null-boundary homogeneous medium (absorption-
+    dominated so multiple scattering is negligible)."""
+    from mitsuba_tpu.render import bsdf as B
+
+    sig_s, sig_a = 0.25, 2.0
+    W = H = 12
+
+    def render_sss():
+        b = SceneBuilder()
+        ss = b.add_subsurface(sigma_s=(sig_s,) * 3, sigma_a=(sig_a,) * 3,
+                              g=0.0, eta=1.0, mode=SS.MODE_SINGLESCATTER)
+        mat = b.add_material(type=B.DIELECTRIC, eta=1.0, subsurface=ss)
+        b.add_sphere((0.0, 0.0, 2.0), 0.5, mat)
+        # small light on the camera side
+        v, f, uv = shapes.rectangle(
+            Transform.translate([0.8, 0.8, 0.2])
+            * Transform.scale([0.1, 0.1, 1]))
+        b.add_mesh(v, f, b.add_material(albedo=(0,) * 3),
+                   emitter_radiance=(60.0,) * 3, uvs=uv)
+        scene, static = b.build()
+        cam = Transform.look_at([0, 0, 0], [0, 0, 1], [0, 1, 0])
+        sens = S.make_perspective(cam, 32.0, W, H)
+        return np.asarray(api.render(
+            scene, static, sens, IntegratorConfig(type=PATH, max_depth=4),
+            api.RenderSettings(width=W, height=H, spp=512, spp_per_pass=64)))
+
+    def render_volpath():
+        from mitsuba_tpu.render.integrators.common import VOLPATH
+
+        b = SceneBuilder()
+        med = b.add_medium_homogeneous(sigma_s=(sig_s,) * 3,
+                                       sigma_a=(sig_a,) * 3)
+        mat = b.add_material(type=B.NULL, interior_medium=med)
+        b.add_sphere((0.0, 0.0, 2.0), 0.5, mat)
+        v, f, uv = shapes.rectangle(
+            Transform.translate([0.8, 0.8, 0.2])
+            * Transform.scale([0.1, 0.1, 1]))
+        b.add_mesh(v, f, b.add_material(albedo=(0,) * 3),
+                   emitter_radiance=(60.0,) * 3, uvs=uv)
+        scene, static = b.build()
+        cam = Transform.look_at([0, 0, 0], [0, 0, 1], [0, 1, 0])
+        sens = S.make_perspective(cam, 32.0, W, H)
+        return np.asarray(api.render(
+            scene, static, sens,
+            IntegratorConfig(type=VOLPATH, max_depth=6, rr_depth=64),
+            api.RenderSettings(width=W, height=H, spp=512, spp_per_pass=64)))
+
+    img_s = render_sss()
+    img_v = render_volpath()
+    assert np.isfinite(img_s).all() and img_s.max() > 0
+    # compare the sphere region means (background is black in both)
+    ms, mv = img_s.mean(), img_v.mean()
+    assert abs(ms - mv) / mv < 0.12, (ms, mv)
