@@ -613,6 +613,23 @@ class XMLSceneLoader:
             return self.builder.add_material(
                 type=B.HK, albedo=tuple(ss), k=tuple(ss + sa),
                 hk_thickness=float(p.get("thickness", 1.0)), hk_g=g)
+        if t == "irawan":
+            # woven cloth (irawan.cpp): filename = reference .cloth pattern
+            # (resolved relative to the scene), else a built-in preset
+            fn = str(p.get("filename", ""))
+            if fn:
+                fn = self.resolve_path(fn)
+            pid = self.builder.add_irawan_pattern(
+                preset=str(p.get("preset", "plain")),
+                filename=fn,
+                kd=tuple(np.broadcast_to(
+                    np.asarray(p.get("kd", (0.3,) * 3), np.float64), (3,))),
+                ks=tuple(np.broadcast_to(
+                    np.asarray(p.get("ks", (0.4,) * 3), np.float64), (3,))),
+                repeat_u=float(p.get("repeatU", 10.0)),
+                repeat_v=float(p.get("repeatV", 10.0)),
+            )
+            return self.builder.add_material(type=B.IRAWAN, irawan=pid)
         if t == "normalmap":
             inner = node.find("bsdf")
             mid = self._load_bsdf(inner, twosided=twosided)

@@ -925,11 +925,13 @@ def pack_pages(bvh, p0, e1, e2) -> np.ndarray:
 
 def _sweep_lane(pages_ref, scr_ref, n_nodes, oxv, oyv, ozv, dxv, dyv, dzv,
                 inx, iny, inz, tmin, node0, bt, bi, bu, bv,
-                any_hit=False, strip=LSTRIP):
+                any_hit=False, strip=LSTRIP, max_nit=0):
     """Per-lane paged traversal. ``pages_ref``: (n_pages*PCOMP, 128) table;
     ``scr_ref``: (BS, 1) int32 VMEM scratch for the vector->scalar
     round-trip of the per-sublane page ids. ``n_nodes``: real node count
-    (pointers retire at >= n_nodes)."""
+    (pointers retire at >= n_nodes). ``max_nit`` > 0 bounds the strip
+    iterations (chunked traversal: the caller re-sorts lanes by node
+    pointer between chunks and resumes)."""
     NP = pages_ref.shape[0] // PCOMP
     Nn = n_nodes
     BIG = jnp.int32(NP + 1)
@@ -938,6 +940,8 @@ def _sweep_lane(pages_ref, scr_ref, n_nodes, oxv, oyv, ozv, dxv, dyv, dzv,
               jnp.zeros((), jnp.int32))
 
     def cond(st):
+        if max_nit:
+            return (st[0] < Nn) & (st[6] < max_nit)
         return st[0] < Nn
 
     def body(st):
@@ -1021,8 +1025,8 @@ def _sweep_lane(pages_ref, scr_ref, n_nodes, oxv, oyv, ozv, dxv, dyv, dzv,
 
         return (jnp.min(node), node, bt, bi, bu, bv, nit + 1)
 
-    _, _, bt, bi, bu, bv, nit = jax.lax.while_loop(cond, body, state0)
-    return bt, bi, bu, bv, nit
+    _, node_f, bt, bi, bu, bv, nit = jax.lax.while_loop(cond, body, state0)
+    return bt, bi, bu, bv, nit, node_f
 
 
 @partial(jax.jit, static_argnames=("n_nodes", "interpret", "any_hit",
@@ -1062,7 +1066,7 @@ def bvh_traverse_lane_packed(pages, n_nodes, o, d, t_min, t_max,
         inx, iny, inz = _safe_inv_v(dxv), _safe_inv_v(dyv), _safe_inv_v(dzv)
         # dead lanes (t_max <= t_min) start retired
         node0 = jnp.where(tmaxv > tmin, 0, n_nodes)
-        bt, bi, bu, bv, nit = _sweep_lane(
+        bt, bi, bu, bv, nit, _ = _sweep_lane(
             pages_r, scr, n_nodes, oxv, oyv, ozv, dxv, dyv, dzv,
             inx, iny, inz, tmin, node0, tmaxv,
             jnp.full((BS, LANES), -1, jnp.int32),
@@ -1103,6 +1107,124 @@ def bvh_traverse_lane_packed(pages, n_nodes, o, d, t_min, t_max,
     if debug_counts:
         return res + (out[4].reshape(Rp)[:R],)
     return res
+
+
+@partial(jax.jit, static_argnames=("n_nodes", "any_hit", "strip", "max_nit",
+                                  "interpret"))
+def _lane_chunk(pages, n_nodes, o, d, t_min, node_in, t_in, i_in, u_in, v_in,
+                any_hit=False, strip=LSTRIP, max_nit=0, interpret=False):
+    """One bounded traversal chunk resuming from per-lane state
+    (node pointer + best hit); returns the updated (t, idx, u, v, node).
+    ``t_in`` doubles as the search upper bound (best-so-far or t_max)."""
+    R = o.shape[0]
+    Rp = -(-R // BLOCK) * BLOCK
+    grid = Rp // BLOCK
+
+    def plane(x, fill, dtype=jnp.float32):
+        x = jnp.asarray(x, dtype)
+        x = jnp.pad(x, (0, Rp - R), constant_values=fill)
+        return x.reshape(grid, BS, LANES)
+
+    ins = [
+        plane(o[:, 0], 0.0), plane(o[:, 1], 0.0), plane(o[:, 2], 0.0),
+        plane(d[:, 0], 1.0), plane(d[:, 1], 0.0), plane(d[:, 2], 0.0),
+        plane(t_min, 0.0),
+        plane(node_in, n_nodes, jnp.int32),
+        plane(t_in, 0.0), plane(i_in, -1, jnp.int32),
+        plane(u_in, 0.0), plane(v_in, 0.0),
+    ]
+
+    ray_spec = pl.BlockSpec((1, BS, LANES), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    tab_spec = pl.BlockSpec(pages.shape, lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def kern(pages_r, *rest):
+        vals = [r[0] for r in rest[:12]]
+        scr = rest[-1]
+        outs = rest[12:-1]
+        oxv, oyv, ozv, dxv, dyv, dzv, tmin, node0, bt0, bi0, bu0, bv0 = vals
+        inx, iny, inz = _safe_inv_v(dxv), _safe_inv_v(dyv), _safe_inv_v(dzv)
+        bt, bi, bu, bv, nit, node = _sweep_lane(
+            pages_r, scr, n_nodes, oxv, oyv, ozv, dxv, dyv, dzv,
+            inx, iny, inz, tmin, node0, bt0, bi0, bu0, bv0,
+            any_hit=any_hit, strip=strip, max_nit=max_nit,
+        )
+        outs[0][0] = bt
+        outs[1][0] = bi
+        outs[2][0] = bu
+        outs[3][0] = bv
+        outs[4][0] = node
+
+    out = pl.pallas_call(
+        kern,
+        grid=(grid,),
+        in_specs=[tab_spec] + [ray_spec] * 12,
+        out_specs=[ray_spec] * 5,
+        out_shape=[
+            jax.ShapeDtypeStruct((grid, BS, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((grid, BS, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((grid, BS, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((grid, BS, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((grid, BS, LANES), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024,
+        ),
+        scratch_shapes=[pltpu.VMEM((BS, 1), jnp.int32)],
+        interpret=interpret,
+    )(pages, *ins)
+    return tuple(x.reshape(Rp)[:R] for x in out)
+
+
+@partial(jax.jit, static_argnames=("n_nodes", "any_hit", "strip", "rounds",
+                                  "chunk_nit", "interpret"))
+def bvh_traverse_lane_resort(pages, n_nodes, o, d, t_min, t_max,
+                             scene_lo, scene_hi, any_hit=False, strip=LSTRIP,
+                             rounds=2, chunk_nit=48, interpret=False):
+    """Lane traversal with MID-TRAVERSAL compaction: run a bounded chunk,
+    re-sort the surviving lanes by their (monotone) node pointer so lanes
+    on nearby pages share sublanes, resume — the TPU analog of wavefront
+    ray-stream compaction. Incoherent ray batches diverge across pages
+    within a few strips; the node-pointer sort restores per-sublane page
+    locality at the cost of one multi-payload lax.sort per round."""
+    R = o.shape[0]
+    t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (R,))
+    t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (R,))
+    key = ray_sort_keys(o, d, scene_lo, scene_hi)
+    key = jnp.where(t_max <= t_min, jnp.uint32(0xFFFFFFFF), key)
+    r = jax.lax.sort(
+        (key, o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
+         t_min, t_max, jnp.arange(R, dtype=jnp.int32)),
+        num_keys=1,
+    )
+    ox, oy, oz, dx, dy, dz, tmn, tmx, orig = r[1:]
+    node = jnp.where(tmx > tmn, 0, n_nodes).astype(jnp.int32)
+    bt = tmx
+    bi = jnp.full((R,), -1, jnp.int32)
+    bu = jnp.zeros((R,))
+    bv = jnp.zeros((R,))
+    for k in range(rounds):
+        o3 = jnp.stack([ox, oy, oz], axis=-1)
+        d3 = jnp.stack([dx, dy, dz], axis=-1)
+        bt, bi, bu, bv, node = _lane_chunk(
+            pages, n_nodes, o3, d3, tmn, node, bt, bi, bu, bv,
+            any_hit=any_hit, strip=strip, max_nit=chunk_nit,
+            interpret=interpret)
+        rr = jax.lax.sort(
+            (node, ox, oy, oz, dx, dy, dz, tmn, bt, bi, bu, bv, orig),
+            num_keys=1,
+        )
+        node, ox, oy, oz, dx, dy, dz, tmn, bt, bi, bu, bv, orig = rr
+    o3 = jnp.stack([ox, oy, oz], axis=-1)
+    d3 = jnp.stack([dx, dy, dz], axis=-1)
+    bt, bi, bu, bv, node = _lane_chunk(
+        pages, n_nodes, o3, d3, tmn, node, bt, bi, bu, bv,
+        any_hit=any_hit, strip=strip, max_nit=0, interpret=interpret)
+    back = jax.lax.sort((orig, bt, bi, bu, bv), num_keys=1)
+    hitm = back[2] >= 0
+    return (hitm, jnp.where(hitm, back[1], jnp.inf), back[2], back[3],
+            back[4])
 
 
 @partial(jax.jit, static_argnames=("n_nodes", "sort", "any_hit", "strip"))

@@ -56,9 +56,12 @@ COATING = 16        # smooth dielectric layer over nested A (coating.cpp)
 HK = 17             # Hanrahan-Krueger single-scattering slab (hk.cpp)
 ROUGHCOATING = 18   # rough dielectric layer over nested A (roughcoating.cpp,
                     # rough-transmittance attenuation from rtrans tables)
+IRAWAN = 19         # Irawan-Marschner woven cloth (irawan.cpp; yarn lookup
+                    # + per-lane parameters prepared in render/irawan.py)
 
 SMOOTH_TYPES = (DIFFUSE, PLASTIC, ROUGH_CONDUCTOR, ROUGH_PLASTIC,
-                ROUGH_DIELECTRIC, ROUGH_DIFFUSE, PHONG, WARD, DIFFTRANS, HK)
+                ROUGH_DIELECTRIC, ROUGH_DIFFUSE, PHONG, WARD, DIFFTRANS, HK,
+                IRAWAN)
 DELTA_TYPES = (DIELECTRIC, CONDUCTOR, THIN_DIELECTRIC, NULL)
 # types whose rows reference other material rows via nested_a / nested_b;
 # nested rows must themselves be non-nesting (one level, like the dominant
@@ -102,6 +105,7 @@ class MaterialTable(NamedTuple):
     # interior diffuse reflectance 1 - Tbar_int for the nonlinear denom
     rt_coef: jnp.ndarray       # (M, 6) poly coefficients, low order first
     rt_fdr: jnp.ndarray        # (M,) internal diffuse reflectance
+    irawan: jnp.ndarray        # (M,) int32 weave-pattern id (-1 none)
 
     @property
     def count(self):
@@ -132,6 +136,12 @@ class BsdfLocals(NamedTuple):
     hk_g: jnp.ndarray      # (R,)
     rt_coef: jnp.ndarray   # (R, 6) rough-transmittance poly (rtrans role)
     rt_fdr: jnp.ndarray    # (R,) internal diffuse reflectance
+    # irawan woven cloth: per-lane yarn-segment parameters gathered from
+    # the weave pattern at the lane's uv (render/irawan.py layout:
+    # [is_weft, psi, umax, kappa, width, length, x, y, alpha, beta, ss,
+    #  hwidth, specnorm*area_ratio])
+    iw_par: jnp.ndarray    # (R, 13)
+    iw_ks: jnp.ndarray     # (R, 3) yarn specular color
 
 
 class BsdfSample(NamedTuple):
@@ -169,6 +179,8 @@ def gather_locals(table: MaterialTable, mat_id, albedo_override=None,
         hk_g=table.hk_g[mid],
         rt_coef=table.rt_coef[mid],
         rt_fdr=table.rt_fdr[mid],
+        iw_par=jnp.zeros(sh + (13,)),
+        iw_ks=jnp.zeros(sh + (3,)),
     )
 
 
@@ -185,6 +197,184 @@ def _flip_twosided(bl: BsdfLocals, wi, wo=None):
 
 
 # === per-type lobes (each takes BsdfLocals + directions, full batch) ======
+
+def _irawan_radius_of_curvature(u, umax, kappa, w, l):
+    """Yarn-spine radius of curvature (irawan.cpp:551-587, Irawan thesis
+    5.3: ellipse / parabola / hyperbola spine by rhat), batched with all
+    branches evaluated and masked."""
+    rhat = 1.0 + kappa * (1.0 + 1.0 / jnp.tan(umax))
+    a = 0.5 * w
+    sin_umax = jnp.sin(umax)
+    half = 0.5 * l - a * sin_umax
+    # circle
+    R_circ = m.safe_div(half, sin_umax)
+    # ellipse (rhat > 0)
+    rh_e = jnp.where(rhat > 0, rhat, 1.0)
+    tmax_e = jnp.arctan(rh_e * jnp.tan(umax))
+    bhat_e = m.safe_div(half, jnp.maximum(jnp.sin(tmax_e), 1e-9))
+    ahat_e = m.safe_div(bhat_e, rh_e)
+    t_e = jnp.arctan(rh_e * jnp.tan(u))
+    R_ell = m.safe_div(
+        (bhat_e ** 2 * jnp.cos(t_e) ** 2
+         + ahat_e ** 2 * jnp.sin(t_e) ** 2) ** 1.5, ahat_e * bhat_e)
+    # hyperbola (rhat < 0)
+    rh_h = jnp.where(rhat < 0, rhat, -1.0)
+    arg_h = jnp.clip(rh_h * jnp.tan(umax), -1.0 + 1e-6, 1.0 - 1e-6)
+    tmax_h = -jnp.arctanh(arg_h)
+    bhat_h = m.safe_div(half, jnp.maximum(jnp.sinh(tmax_h), 1e-9))
+    ahat_h = m.safe_div(bhat_h, rh_h)
+    arg_u = jnp.clip(rh_h * jnp.tan(u), -1.0 + 1e-6, 1.0 - 1e-6)
+    t_h = -jnp.arctanh(arg_u)
+    R_hyp = -m.safe_div(
+        (bhat_h ** 2 * jnp.cosh(t_h) ** 2
+         + ahat_h ** 2 * jnp.sinh(t_h) ** 2) ** 1.5, ahat_h * bhat_h)
+    # parabola (rhat == 0)
+    tm_p = jnp.tan(umax)
+    ahat_p = m.safe_div(half, 2.0 * jnp.maximum(tm_p, 1e-9))
+    t_p = jnp.tan(u)
+    R_par = 2.0 * ahat_p * (1.0 + t_p * t_p) ** 1.5
+    R = jnp.where(jnp.abs(rhat - 1.0) < 1e-6, R_circ,
+                  jnp.where(rhat > 0, R_ell,
+                            jnp.where(rhat < 0, R_hyp, R_par)))
+    return R
+
+
+def _irawan_von_mises(cos_x, b):
+    """von Mises density on the circle (irawan.cpp:588-606; Abramowitz &
+    Stegun I0 polynomial)."""
+    ab = jnp.abs(b)
+    t_s = (ab / 3.75) ** 2
+    i0_small = 1.0 + t_s * (3.5156229 + t_s * (3.0899424 + t_s * (
+        1.2067492 + t_s * (0.2659732 + t_s * (0.0360768 + t_s * 0.0045813)))))
+    t_l = 3.75 / jnp.maximum(ab, 1e-6)
+    i0_large = jnp.exp(ab) / jnp.sqrt(jnp.maximum(ab, 1e-6)) * (
+        0.39894228 + t_l * (0.01328592 + t_l * (0.00225319 + t_l * (
+            -0.00157565 + t_l * (0.00916281 + t_l * (-0.02057706 + t_l * (
+                0.02635537 + t_l * (-0.01647633 + t_l * 0.00392377))))))))
+    i0 = jnp.where(ab <= 3.75, i0_small, i0_large)
+    return jnp.exp(b * cos_x) / (2.0 * jnp.pi * i0)
+
+
+def _irawan_seeliger(c1, c2):
+    """Lommel-Seeliger attenuation with albedo 1 (irawan.cpp:608-615)."""
+    c1 = jnp.maximum(c1, 0.0)
+    c2 = jnp.maximum(c2, 0.0)
+    return jnp.where((c1 > 0) & (c2 > 0),
+                     m.safe_div(c1 * c2, 4.0 * jnp.pi * (c1 + c2)), 0.0)
+
+
+def _smoothstep01(x):
+    x = jnp.clip(x, 0.0, 1.0)
+    return x * x * (3.0 - 2.0 * x)
+
+
+def _irawan_eval(bl, wi, wo):
+    """Irawan-Marschner woven-cloth BRDF (irawan.cpp eval:230-320 +
+    evalFilamentIntegrand:390 / evalStapleIntegrand:482), fully batched.
+    Per-lane yarn parameters were gathered by scene.bsdf_locals; the
+    stochastic intensity variation (fineness/period noise) is omitted —
+    its mean is ~1, so average brightness is preserved (documented
+    deviation)."""
+    p = bl.iw_par
+    is_weft = p[..., 0] > 0.5
+    psi = p[..., 1]
+    umax = jnp.maximum(p[..., 2], 1e-4)
+    kappa = p[..., 3]
+    w = jnp.maximum(p[..., 4], 1e-6)
+    l = jnp.maximum(p[..., 5], 1e-6)
+    x = p[..., 6]
+    y = p[..., 7]
+    alpha = p[..., 8]
+    beta = p[..., 9]
+    ss = p[..., 10]
+    hwidth = jnp.maximum(p[..., 11], 1e-4)
+    snorm = p[..., 12]
+
+    ok = (wi[..., 2] > 0) & (wo[..., 2] > 0)
+
+    # weft yarns: rotate the frame pi/2 about z (irawan.cpp:244-253)
+    def rot(v):
+        return jnp.stack([-v[..., 1], v[..., 0], v[..., 2]], axis=-1)
+
+    om_i = jnp.where(is_weft[..., None], rot(wi), wi)
+    om_r = jnp.where(is_weft[..., None], rot(wo), wo)
+    xx = jnp.where(is_weft, -y, x)
+    yy = jnp.where(is_weft, x, y)
+
+    u = yy / (l / 2.0) * umax
+    v = xx * jnp.pi / w
+
+    h = m.normalize(om_i + om_r)
+    len_ir = m.length(om_i + om_r)
+    geom_ok = (w * jnp.sin(umax) < l) & (kappa > -1.0)
+
+    # --- filament integrand (psi == 0) -----------------------------------
+    u_of_v = jnp.arctan(m.safe_div(h[..., 1], jnp.maximum(
+        jnp.abs(h[..., 2]), 1e-9)) * jnp.sign(h[..., 2]))
+    in_rng_f = jnp.abs(u_of_v) < umax
+    n_f = m.normalize(jnp.stack([
+        jnp.sin(v), jnp.sin(u_of_v) * jnp.cos(v),
+        jnp.cos(u_of_v) * jnp.cos(v)], axis=-1))
+    t_f = m.normalize(jnp.stack([
+        jnp.zeros_like(u_of_v), jnp.cos(u_of_v), -jnp.sin(u_of_v)], axis=-1))
+    ss_c = jnp.clip(ss, 0.0, 1.0 - 1e-4)
+    R_f = _irawan_radius_of_curvature(
+        jnp.minimum(jnp.abs(u_of_v), (1 - ss_c) * umax),
+        (1 - ss_c) * umax, kappa, w, l)
+    a_half = 0.5 * w
+    t_cross_h = m.cross(t_f, h)
+    Gu = m.safe_div(a_half * (R_f + a_half * jnp.cos(v)),
+                    len_ir * jnp.maximum(jnp.abs(t_cross_h[..., 0]), 1e-9))
+    fc = alpha + _irawan_von_mises(-m.dot(om_i, om_r), beta)
+    A_f = _irawan_seeliger(m.dot(n_f, om_i), m.dot(n_f, om_r))
+    As = jnp.where(
+        ss_c > 0,
+        A_f * (1.0 - _smoothstep01(m.safe_div(
+            jnp.abs(u_of_v) - (1.0 - ss_c) * umax,
+            jnp.maximum(ss_c * umax, 1e-9)))),
+        A_f)
+    fs_f = Gu * fc * As * jnp.pi * l
+    delta_y = l * hwidth
+    y_of_v = jnp.clip(u_of_v * 0.5 * l / umax,
+                      0.5 * (delta_y - l), 0.5 * (l - delta_y))
+    hit_f = jnp.abs(y_of_v - u * 0.5 * l / umax) < 0.5 * delta_y
+    filament = jnp.where(in_rng_f & hit_f & geom_ok,
+                         m.safe_div(fs_f, delta_y), 0.0)
+
+    # --- staple integrand (psi != 0) -------------------------------------
+    psi_s = jnp.where(jnp.abs(psi) > 1e-6, psi, 1.0)  # guarded; masked out
+    hy, hz, hx = h[..., 1], h[..., 2], h[..., 0]
+    D = m.safe_div(
+        hy * jnp.cos(u) - hz * jnp.sin(u),
+        jnp.sqrt(jnp.maximum(
+            hx * hx + (hy * jnp.sin(u) + hz * jnp.cos(u)) ** 2, 1e-12))
+        * jnp.tan(psi_s))
+    v_of_u = jnp.arctan2(-hy * jnp.sin(u) - hz * jnp.cos(u), hx) \
+        + m.safe_acos(jnp.clip(D, -1.0, 1.0))
+    in_rng_s = (jnp.abs(D) < 1.0) & (jnp.abs(v_of_u) < jnp.pi / 2.0)
+    n_s = m.normalize(jnp.stack([
+        jnp.sin(v_of_u), jnp.sin(u) * jnp.cos(v_of_u),
+        jnp.cos(u) * jnp.cos(v_of_u)], axis=-1))
+    R_s = _irawan_radius_of_curvature(jnp.abs(u), umax, kappa, w, l)
+    Gv = m.safe_div(
+        a_half * (R_s + a_half * jnp.cos(v_of_u)),
+        len_ir * jnp.maximum(m.dot(n_s, h), 1e-9)
+        * jnp.maximum(jnp.abs(jnp.sin(psi_s)), 1e-9))
+    A_s = _irawan_seeliger(m.dot(n_s, om_i), m.dot(n_s, om_r))
+    fs_s = Gv * fc * A_s * 2.0 * w * umax
+    delta_x = w * hwidth
+    x_of_u = jnp.clip(v_of_u * w / jnp.pi,
+                      0.5 * (delta_x - w), 0.5 * (w - delta_x))
+    hit_s = jnp.abs(x_of_u - v * w / jnp.pi) < 0.5 * delta_x
+    staple = jnp.where(in_rng_s & hit_s & geom_ok,
+                       m.safe_div(fs_s, delta_x), 0.0)
+
+    integrand = jnp.where(jnp.abs(psi) > 1e-6, staple, filament)
+    spec = bl.iw_ks * (integrand * snorm)[..., None]
+    f = (bl.albedo * warp.INV_PI + spec) \
+        * jnp.maximum(wo[..., 2], 0.0)[..., None]
+    return jnp.where(ok[..., None], jnp.maximum(f, 0.0), 0.0)
+
 
 def _diffuse_eval(bl, wi, wo):
     ok = (wi[..., 2] > 0) & (wo[..., 2] > 0)
@@ -827,6 +1017,8 @@ def _eval_base(bl: BsdfLocals, wi, wo, active_types=None):
             v = _difftrans_eval(bl, wi, wo)
         elif t == HK:
             v = _hk_eval(bl, wi, wo)
+        elif t == IRAWAN:
+            v = _irawan_eval(bl, wi, wo)
         else:
             continue  # delta lobes eval to 0
         out = jnp.where(sel[..., None], v, out)
@@ -843,6 +1035,8 @@ def _pdf_base(bl: BsdfLocals, wi, wo, active_types=None):
             v = _diffuse_pdf(bl, wi, wo)
         elif t == ROUGH_DIFFUSE:
             v = _diffuse_pdf(bl, wi, wo)  # roughdiffuse samples cosine too
+        elif t == IRAWAN:
+            v = _diffuse_pdf(bl, wi, wo)  # irawan.cpp samples cosine too
         elif t == ROUGH_CONDUCTOR:
             v = _dist_mix_s(bl, lambda d: _rough_conductor_pdf(bl, d, wi, wo))
         elif t == PLASTIC:
@@ -883,6 +1077,11 @@ def _sample_base(bl: BsdfLocals, wi, u_lobe, u2, active_types=None) -> BsdfSampl
         elif t == ROUGH_DIFFUSE:
             wo_, w_, p_, d_, e_ = _diffuse_sample(bl, wi_f, u_lobe, u2)
             f = _rough_diffuse_eval(bl, wi_f, wo_)
+            w_ = m.safe_div(f, jnp.maximum(p_, 1e-9)[..., None])
+            r = (wo_, w_, p_, d_, e_)
+        elif t == IRAWAN:
+            wo_, w_, p_, d_, e_ = _diffuse_sample(bl, wi_f, u_lobe, u2)
+            f = _irawan_eval(bl, wi_f, wo_)
             w_ = m.safe_div(f, jnp.maximum(p_, 1e-9)[..., None])
             r = (wo_, w_, p_, d_, e_)
         elif t == DIELECTRIC:
@@ -949,7 +1148,7 @@ def _dist_mix_t(bl, fn):
 _ALL_TYPES = (
     DIFFUSE, DIELECTRIC, CONDUCTOR, ROUGH_CONDUCTOR, PLASTIC, ROUGH_PLASTIC,
     ROUGH_DIELECTRIC, THIN_DIELECTRIC, ROUGH_DIFFUSE, PHONG, WARD, DIFFTRANS,
-    HK, NULL,
+    HK, NULL, IRAWAN,
 )
 
 

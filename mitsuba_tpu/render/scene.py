@@ -120,6 +120,7 @@ class Scene(NamedTuple):
     emitters: em_mod.EmitterTable
     media: MediumTable
     sss: "SSSTable"           # subsurface table (dipole.cpp parity)
+    irawan: "IrawanTable"     # weave patterns (irawan.cpp parity)
     # bounds
     aabb_lo: jnp.ndarray      # (3,)
     aabb_hi: jnp.ndarray      # (3,)
@@ -638,13 +639,29 @@ def bsdf_locals(scene: Scene, its: Interaction,
             scene.materials.weight[mid][..., None], ones3.shape
         )
         blend = eval_texture(scene.textures, w_tex, its.uv, w_base)[..., 0]
-    return bsdf_mod.gather_locals(
+    bl = bsdf_mod.gather_locals(
         scene.materials, its.mat_id,
         albedo_override=eval_albedo(scene, its, static, fp_uv=fp_uv,
                                     duv_minor=duv_minor,
                                     duv_major=duv_major),
         opacity_override=opacity, blend_override=blend,
     )
+    # irawan lanes: gather the yarn-segment parameters at this uv
+    # (compile-time gated on the type set)
+    if static is None or bsdf_mod.IRAWAN in static.bsdf_types:
+        from . import irawan as irawan_mod
+
+        mid = jnp.maximum(its.mat_id, 0)
+        pid = scene.materials.irawan[mid]
+        iw_par, iw_ks, iw_kd = irawan_mod.lane_params(
+            scene.irawan, pid, its.uv)
+        sel = (bl.type == bsdf_mod.IRAWAN)
+        bl = bl._replace(
+            iw_par=jnp.where(sel[..., None], iw_par, bl.iw_par),
+            iw_ks=jnp.where(sel[..., None], iw_ks, bl.iw_ks),
+            albedo=jnp.where(sel[..., None], iw_kd, bl.albedo),
+        )
+    return bl
 
 
 def bsdf_nested(scene: Scene, its: Interaction, static: SceneStatic):
@@ -767,6 +784,7 @@ class SceneBuilder:
         hk_g: float = 0.0,
         subsurface: int = -1,
         cauchy_b: float = 0.0,
+        irawan: int = -1,
     ) -> int:
         if np.isscalar(eta):
             eta = (float(eta),) * 3
@@ -785,10 +803,36 @@ class SceneBuilder:
                 weight_tex=weight_tex, normal_tex=normal_tex,
                 bump_tex=bump_tex, bump_scale=bump_scale,
                 hk_thickness=hk_thickness, hk_g=hk_g, subsurface=subsurface,
-                cauchy_b=cauchy_b,
+                cauchy_b=cauchy_b, irawan=irawan,
             )
         )
         return len(self.mats) - 1
+
+    # --- woven cloth (src/bsdfs/irawan.cpp parity) ---
+    def add_irawan_pattern(self, preset: str = "plain", filename: str = "",
+                           kd=(0.3, 0.3, 0.3), ks=(0.4, 0.4, 0.4),
+                           repeat_u: float = 10.0,
+                           repeat_v: float = 10.0) -> int:
+        """Register a weave pattern (built-in preset or a reference-format
+        ``.cloth`` file); reference it from add_material(type=B.IRAWAN,
+        irawan=id)."""
+        from . import irawan as irawan_mod
+        if not hasattr(self, "_irawan"):
+            self._irawan = []
+        if filename:
+            pd = irawan_mod.load_cloth(filename)
+        else:
+            pd = irawan_mod.preset(preset, kd=kd, ks=ks)
+        self._irawan.append((pd, (float(repeat_u), float(repeat_v))))
+        return len(self._irawan) - 1
+
+    def _build_irawan(self):
+        from . import irawan as irawan_mod
+        pats = getattr(self, "_irawan", [])
+        if not pats:
+            return irawan_mod.IrawanTable.empty()
+        return irawan_mod.build_table([p for p, _ in pats],
+                                      [r for _, r in pats])
 
     # --- subsurface (src/subsurface/dipole.cpp parity) ---
     def add_subsurface(self, sigma_s=(1.0,) * 3, sigma_a=(0.05,) * 3,
@@ -1365,6 +1409,8 @@ class SceneBuilder:
             cauchy_b=jnp.asarray([mm.get("cauchy_b", 0.0) for mm in self.mats], jnp.float32),
             rt_coef=jnp.asarray(rt_coef),
             rt_fdr=jnp.asarray(rt_fdr),
+            irawan=jnp.asarray(
+                [mm.get("irawan", -1) for mm in self.mats], jnp.int32),
         )
 
         corners = None
@@ -1477,6 +1523,7 @@ class SceneBuilder:
             emitters=emitters,
             media=self._build_media(),
             sss=self._build_sss(),
+            irawan=self._build_irawan(),
             aabb_lo=jnp.asarray(scene_lo, jnp.float32),
             aabb_hi=jnp.asarray(scene_hi, jnp.float32),
             radius=jnp.asarray(radius, jnp.float32),

@@ -49,6 +49,8 @@ def make_locals(n, **kw):
         hk_g=jnp.full((n,), d["hk_g"]),
         rt_coef=full(_rt_for(d), (n, 6)),
         rt_fdr=jnp.full((n,), _rt_fdr_for(d)),
+        iw_par=jnp.zeros((n, 13)),
+        iw_ks=jnp.zeros((n, 3)),
     )
 
 
