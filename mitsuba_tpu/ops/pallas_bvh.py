@@ -1111,12 +1111,15 @@ def bvh_traverse_lane_packed(pages, n_nodes, o, d, t_min, t_max,
 
 @partial(jax.jit, static_argnames=("n_nodes", "any_hit", "strip", "max_nit",
                                   "interpret"))
-def _lane_chunk(pages, n_nodes, o, d, t_min, node_in, t_in, i_in, u_in, v_in,
+def _lane_chunk(pages, n_nodes, ox, oy, oz, dx, dy, dz, t_min,
+                node_in, t_in, i_in, u_in, v_in,
                 any_hit=False, strip=LSTRIP, max_nit=0, interpret=False):
     """One bounded traversal chunk resuming from per-lane state
     (node pointer + best hit); returns the updated (t, idx, u, v, node).
-    ``t_in`` doubles as the search upper bound (best-so-far or t_max)."""
-    R = o.shape[0]
+    ``t_in`` doubles as the search upper bound (best-so-far or t_max).
+    Ray components arrive as SCALAR (R,) arrays — column-slicing an (R,3)
+    stack costs a slow-layout gather per component (~18 ms at 262k)."""
+    R = ox.shape[0]
     Rp = -(-R // BLOCK) * BLOCK
     grid = Rp // BLOCK
 
@@ -1126,8 +1129,8 @@ def _lane_chunk(pages, n_nodes, o, d, t_min, node_in, t_in, i_in, u_in, v_in,
         return x.reshape(grid, BS, LANES)
 
     ins = [
-        plane(o[:, 0], 0.0), plane(o[:, 1], 0.0), plane(o[:, 2], 0.0),
-        plane(d[:, 0], 1.0), plane(d[:, 1], 0.0), plane(d[:, 2], 0.0),
+        plane(ox, 0.0), plane(oy, 0.0), plane(oz, 0.0),
+        plane(dx, 1.0), plane(dy, 0.0), plane(dz, 0.0),
         plane(t_min, 0.0),
         plane(node_in, n_nodes, jnp.int32),
         plane(t_in, 0.0), plane(i_in, -1, jnp.int32),
@@ -1205,10 +1208,9 @@ def bvh_traverse_lane_resort(pages, n_nodes, o, d, t_min, t_max,
     bu = jnp.zeros((R,))
     bv = jnp.zeros((R,))
     for k in range(rounds):
-        o3 = jnp.stack([ox, oy, oz], axis=-1)
-        d3 = jnp.stack([dx, dy, dz], axis=-1)
         bt, bi, bu, bv, node = _lane_chunk(
-            pages, n_nodes, o3, d3, tmn, node, bt, bi, bu, bv,
+            pages, n_nodes, ox, oy, oz, dx, dy, dz, tmn,
+            node, bt, bi, bu, bv,
             any_hit=any_hit, strip=strip, max_nit=chunk_nit,
             interpret=interpret)
         rr = jax.lax.sort(
@@ -1216,10 +1218,9 @@ def bvh_traverse_lane_resort(pages, n_nodes, o, d, t_min, t_max,
             num_keys=1,
         )
         node, ox, oy, oz, dx, dy, dz, tmn, bt, bi, bu, bv, orig = rr
-    o3 = jnp.stack([ox, oy, oz], axis=-1)
-    d3 = jnp.stack([dx, dy, dz], axis=-1)
     bt, bi, bu, bv, node = _lane_chunk(
-        pages, n_nodes, o3, d3, tmn, node, bt, bi, bu, bv,
+        pages, n_nodes, ox, oy, oz, dx, dy, dz, tmn,
+        node, bt, bi, bu, bv,
         any_hit=any_hit, strip=strip, max_nit=0, interpret=interpret)
     back = jax.lax.sort((orig, bt, bi, bu, bv), num_keys=1)
     hitm = back[2] >= 0

@@ -76,10 +76,11 @@ class EmitterTable(NamedTuple):
 
 
 def _gather_tri(scene, tri):
-    p0 = scene.tri_p0[tri]
-    e1 = scene.tri_e1[tri]
-    e2 = scene.tri_e2[tri]
-    return p0, e1, e2
+    """One wide (T, 13) gather: p0, e1, e2, gn, nee-pdf (per-component
+    gathers each hit a slow layout path — Scene.tri_nee_attrs note)."""
+    at = scene.tri_nee_attrs[tri]
+    return at[..., 0:3], at[..., 3:6], at[..., 6:9], at[..., 9:12], \
+        at[..., 12]
 
 
 def sample_direct(scene, static, p_ref, u3):
@@ -118,17 +119,16 @@ def sample_direct(scene, static, p_ref, u3):
             0, em.etri_tri.shape[0] - 1,
         )
         tri = em.etri_tri[j]
-        p0, e1, e2 = _gather_tri(scene, tri)
+        p0, e1, e2, n_l_g, pdf_a_g = _gather_tri(scene, tri)
         bc = warp.square_to_uniform_triangle(jnp.stack([u0, u1], axis=-1))
         y = p0 + bc[..., 0:1] * e1 + bc[..., 1:2] * e2
         to_y = y - p_ref
         dist_a = m.length(to_y)
         d_a = to_y / jnp.maximum(dist_a, 1e-12)[..., None]
-        n_l = scene.tri_gn[tri]
+        n_l = n_l_g
         cos_l = -m.dot(d_a, n_l)
         # area-measure pdf -> solid angle (common.h measure conversion)
-        pdf_area = scene.tri_nee_pdf_area[tri]
-        pdf_a = m.safe_div(pdf_area * dist_a * dist_a, jnp.abs(cos_l))
+        pdf_a = m.safe_div(pdf_a_g * dist_a * dist_a, jnp.abs(cos_l))
         ok = (cos_l > 1e-7) & (dist_a > 1e-6)
         sel = etype == AREA
         d = jnp.where(sel[..., None], d_a, d)
@@ -261,6 +261,8 @@ class EmitterRaySample(NamedTuple):
     radiance: jnp.ndarray  # (R, 3) Le at the vertex (area only)
     is_area: jnp.ndarray   # (R,) bool: vertex is a visible emitting surface
     valid: jnp.ndarray     # (R,) bool
+    e_idx: jnp.ndarray     # (R,) int32 chosen emitter row
+    epmf: jnp.ndarray      # (R,) discrete selection pmf of that emitter
 
 
 def sample_ray(scene, static, u4, u2):
@@ -306,11 +308,10 @@ def sample_ray(scene, static, u4, u2):
             0, em.etri_tri.shape[0] - 1,
         )
         tri = em.etri_tri[j]
-        p0, e1, e2 = _gather_tri(scene, tri)
+        p0, e1, e2, n_l, pdf_a_g = _gather_tri(scene, tri)
         bc = warp.square_to_uniform_triangle(jnp.stack([u0, u1], axis=-1))
         y = p0 + bc[..., 0:1] * e1 + bc[..., 1:2] * e2
-        n_l = scene.tri_gn[tri]
-        p_A = jnp.maximum(scene.tri_nee_pdf_area[tri], 1e-20)
+        p_A = jnp.maximum(pdf_a_g, 1e-20)
         # direction ~ cosine hemisphere about the (front) geometric normal
         from ..core.frame import Frame
 
@@ -437,6 +438,7 @@ def sample_ray(scene, static, u4, u2):
     return EmitterRaySample(
         o=o, d=d, weight=weight, n=n_out, pdf_area=pdf_area,
         radiance=radiance, is_area=is_area, valid=valid,
+        e_idx=e_idx, epmf=epmf,
     )
 
 

@@ -32,9 +32,12 @@ cos := 1), transmissive boundaries swap the per-lane medium, and every
 connection weights its visibility segment by the attenuated
 transmittance through null-boundary chains.
 
-Scope: area + analytic-sphere emitters (delta emitters render through
-the unidirectional family); pinhole perspective/thinlens sensors for the
-t=0 splats; subpaths start in the camera medium.
+Scope: area + analytic-sphere emitters plus delta-POSITION emitters
+(point/spot, vertex.h EDeltaPosition role — their in-view (s=1, t=0)
+splat draws the light as a dot exactly like the reference light image);
+directional/collimated emitters render through the unidirectional
+family; pinhole perspective/thinlens sensors for the t=0 splats;
+subpaths start in the camera medium.
 """
 from __future__ import annotations
 
@@ -78,6 +81,10 @@ class Subpath(NamedTuple):
     pdf_fwd: jnp.ndarray   # (K, R) area pdf of this vertex from the prev
     pdf_rev: jnp.ndarray   # (K, R) area pdf of this vertex from the next
     delta: jnp.ndarray     # (K, R) bool: reached via a delta lobe
+    delta_origin: jnp.ndarray  # (K, R) bool: delta-POSITION light vertex
+                               # (own s=0 alternative impossible, but the
+                               # neighbor's alternatives stay valid —
+                               # pbrt/veach IsDeltaLight distinction)
     conn: jnp.ndarray      # (K, R) bool: has a smooth lobe (connectible)
     light_pdf_a: jnp.ndarray  # (K, R) emitter-origin area pdf (0 if none)
     valid: jnp.ndarray     # (K, R)
@@ -93,7 +100,9 @@ class Subpath(NamedTuple):
             emitter_id=jnp.full((K, R), -1, jnp.int32),
             wi_world=z3, beta=z3,
             pdf_fwd=jnp.zeros((K, R)), pdf_rev=jnp.zeros((K, R)),
-            delta=jnp.zeros((K, R), bool), conn=jnp.zeros((K, R), bool),
+            delta=jnp.zeros((K, R), bool),
+            delta_origin=jnp.zeros((K, R), bool),
+            conn=jnp.zeros((K, R), bool),
             light_pdf_a=jnp.zeros((K, R)), valid=jnp.zeros((K, R), bool),
             is_med=jnp.zeros((K, R), bool),
             med_id=jnp.full((K, R), -1, jnp.int32),
@@ -371,35 +380,93 @@ def generate_subpaths(scene, static, cfg: IntegratorConfig, sensor, o, d,
     u_e = rng_mod.uniform4(seed, lane, sample, DIM_LIGHT_EMIT)
     u_ed = rng_mod.uniform2(seed, lane, sample, DIM_LIGHT_EMIT + 1)
     ers = em_mod.sample_ray(scene, static, u_e, u_ed)
-    q_valid = ers.valid & ers.is_area
+    # delta-POSITION emitters (point/spot) start the subpath at their
+    # fixed position (vertex.h EDeltaPosition role); the y_0 vertex is
+    # marked delta so MIS skips the impossible s=0 alternative
+    etype0 = scene.emitters.type[jnp.maximum(ers.e_idx, 0)]
+    is_deltaL = ers.valid & ((etype0 == em_mod.POINT)
+                             | (etype0 == em_mod.SPOT))
+    q_valid = ers.valid & (ers.is_area | is_deltaL)
     beta_q0 = jnp.where(
         q_valid[..., None],
-        m.safe_div(ers.radiance, ers.pdf_area[..., None]), 0.0,
+        jnp.where(
+            is_deltaL[..., None],
+            m.safe_div(scene.emitters.radiance[jnp.maximum(ers.e_idx, 0)],
+                       jnp.maximum(ers.epmf, 1e-12)[..., None]),
+            m.safe_div(ers.radiance, ers.pdf_area[..., None])), 0.0,
     )
     cos0 = m.dot(ers.n, ers.d)
     pdf_dir0 = jnp.maximum(cos0, 0.0) * INV_PI  # cosine emission pdf
+    pdf_dir0 = jnp.where(
+        is_deltaL, _emission_dir_pdf(scene, ers.e_idx, ers.d), pdf_dir0)
 
     light = Subpath.empty(K_light, R)
     set0 = lambda a, v: a.at[0].set(v)
+    gn0 = jnp.where(is_deltaL[..., None], 0.0, ers.n)
     light = light._replace(
         p=set0(light.p, ers.o),
-        gn=set0(light.gn, ers.n),
-        ns=set0(light.ns, ers.n),
+        gn=set0(light.gn, gn0),
+        ns=set0(light.ns, gn0),
+        emitter_id=set0(light.emitter_id,
+                        jnp.where(q_valid, ers.e_idx, -1)),
         beta=set0(light.beta, beta_q0),
-        pdf_fwd=set0(light.pdf_fwd, jnp.where(q_valid, ers.pdf_area, 0.0)),
+        pdf_fwd=set0(light.pdf_fwd,
+                     jnp.where(q_valid,
+                               jnp.where(is_deltaL, ers.epmf, ers.pdf_area),
+                               0.0)),
+        delta_origin=set0(light.delta_origin, is_deltaL),
         conn=set0(light.conn, q_valid),
-        light_pdf_a=set0(light.light_pdf_a, ers.pdf_area),
+        light_pdf_a=set0(light.light_pdf_a,
+                         jnp.where(is_deltaL, ers.epmf, ers.pdf_area)),
         valid=set0(light.valid, q_valid),
     )
     if K_light > 1:
         beta_y1 = beta_q0 * m.safe_div(cos0, jnp.maximum(pdf_dir0, 1e-12))[..., None]
+        # ers.weight already is full power over all pdfs for every type
+        beta_y1 = jnp.where(is_deltaL[..., None], ers.weight, beta_y1)
         light = random_walk(
-            scene, static, light, ray_offset(ers.o, ers.n, ers.d), ers.d,
+            scene, static, light, ray_offset(ers.o, gn0, ers.d), ers.d,
             jnp.where(q_valid[..., None], beta_y1, 0.0), pdf_dir0,
             1, K_light - 1, seed, lane, sample, DIM_LIGHT_BASE, True,
             medium0=jnp.full(o.shape[0], int(camera_medium), jnp.int32),
         )
     return eye, light
+
+
+def _emission_dir_pdf(scene, e_idx, d_out):
+    """Solid-angle emission-direction pdf of a delta-position emitter
+    toward d_out (point: uniform sphere; spot: uniform cone up to the
+    cutoff — matching emitter.sample_ray)."""
+    from ...core import warp
+
+    e = jnp.maximum(e_idx, 0)
+    em = scene.emitters
+    etype = em.type[e]
+    pdf = jnp.full(d_out.shape[:-1], warp.INV_FOURPI)
+    cc = em.spot_cos[e, 0]
+    cos_f = m.dot(d_out, em.direction[e])
+    pdf_spot = jnp.where(cos_f >= cc,
+                         warp.INV_TWOPI / jnp.maximum(1.0 - cc, 1e-6), 0.0)
+    return jnp.where(etype == em_mod.SPOT, pdf_spot, pdf)
+
+
+def _emission_profile(scene, light, ys, d_out):
+    """Directional emission factor of the y_0 vertex toward d_out with
+    the radiance/intensity already folded into beta: cos for area
+    emitters, 1 for point, cone falloff for spot (area.cpp / point.cpp /
+    spot.cpp eval semantics)."""
+    e = jnp.maximum(light.emitter_id[ys], 0)
+    em = scene.emitters
+    etype = em.type[e]
+    cos_l = jnp.maximum(m.dot(light.gn[ys], d_out), 0.0)
+    f = cos_l
+    f = jnp.where(etype == em_mod.POINT, 1.0, f)
+    cc, cb = em.spot_cos[e, 0], em.spot_cos[e, 1]
+    cos_f = m.dot(d_out, em.direction[e])
+    fall = jnp.clip(m.safe_div(cos_f - cc, cb - cc), 0.0, 1.0)
+    fall = jnp.where(cos_f >= cb, 1.0, fall)
+    fall = jnp.where(cos_f <= cc, 0.0, fall)
+    return jnp.where(etype == em_mod.SPOT, fall, f)
 
 
 def _remap0(x):
@@ -429,7 +496,8 @@ def _mis_from_entries(eye_entries, light_entries, cam_delta=False):
         e = light_entries[k]
         ri = ri * m.safe_div(_remap0(e["rev"]), _remap0(e["fwd"]))
         below_delta = light_entries[k - 1]["delta"] if k > 0 else jnp.zeros((), bool)
-        sum_ri = sum_ri + jnp.where(~e["delta"] & ~below_delta, ri * ri, 0.0)
+        skip = e["delta"] | below_delta | e.get("skip_own", jnp.zeros((), bool))
+        sum_ri = sum_ri + jnp.where(~skip, ri * ri, 0.0)
     return m.safe_div(1.0, 1.0 + sum_ri)
 
 
@@ -442,6 +510,7 @@ def _entries(sp: Subpath, n: int, subs: dict):
             fwd=sp.pdf_fwd[k],
             rev=subs.get(k, sp.pdf_rev[k]),
             delta=sp.delta[k],
+            skip_own=sp.delta_origin[k],
         ))
     return out
 
@@ -564,8 +633,8 @@ def li_and_splats(scene, static, cfg: IntegratorConfig, sensor, o, d,
                 ok = light.valid[ys] & light.conn[ys]
                 ss = sensor_mod.sample_direct(sensor, light.p[ys])
                 if s == 1:
-                    cos_c = m.dot(light.gn[ys], ss.d)
-                    val = light.beta[ys] * jnp.maximum(cos_c, 0.0)[..., None]
+                    f_em = _emission_profile(scene, light, ys, ss.d)
+                    val = light.beta[ys] * f_em[..., None]
                 else:
                     bl, nst, frame = light_loc[ys]
                     wi_l = frame.to_local(light.wi_world[ys])
@@ -628,9 +697,10 @@ def li_and_splats(scene, static, cfg: IntegratorConfig, sensor, o, d,
                             eye.wi_world[zt], d_unit)
 
             if s == 1:
-                # y_0 is the emitter vertex: Le toward z_t, front side
-                cos_l = m.dot(light.gn[ys], -d_unit)
-                f_l_over_d2 = m.safe_div(jnp.maximum(cos_l, 0.0), dist2)
+                # y_0 is the emitter vertex: emission profile toward z_t
+                # (cos for area, 1 for point, falloff for spot)
+                f_em = _emission_profile(scene, light, ys, -d_unit)
+                f_l_over_d2 = m.safe_div(f_em, dist2)
                 contrib = eye.beta[zt] * f_e * light.beta[ys] * \
                     f_l_over_d2[..., None] * tr
             else:
@@ -652,7 +722,14 @@ def li_and_splats(scene, static, cfg: IntegratorConfig, sensor, o, d,
             lsubs = {}
             # z_t from the light side
             if s == 1:
-                pdf_dir = jnp.maximum(m.dot(light.gn[ys], -d_unit), 0.0) * INV_PI
+                e_id = light.emitter_id[ys]
+                etype_l = scene.emitters.type[jnp.maximum(e_id, 0)]
+                pdf_dir = jnp.maximum(
+                    m.dot(light.gn[ys], -d_unit), 0.0) * INV_PI
+                is_dl = ((etype_l == em_mod.POINT)
+                         | (etype_l == em_mod.SPOT))
+                pdf_dir = jnp.where(
+                    is_dl, _emission_dir_pdf(scene, e_id, -d_unit), pdf_dir)
                 esubs[zt] = _to_area(pdf_dir, -d_unit, dist2, eye.gn[zt])
             else:
                 esubs[zt] = _vertex_pdf_toward(

@@ -65,6 +65,9 @@ BVH_KERNEL = os.environ.get("MTS_BVH_KERNEL", "lane")
 # ~43 ms each per bounce; the per-lane kernel degrades gracefully on
 # unsorted rays, so the sort is optional.
 BVH_SORT = os.environ.get("MTS_BVH_SORT", "1") != "0"
+# chunked traversal with mid-traversal node-pointer re-sort for bounce
+# (non-presorted) queries: "rounds,chunk_nit", empty = off
+BVH_RESORT = os.environ.get("MTS_BVH_RESORT", "2,16")
 
 
 def _pallas_bvh_ok(static) -> bool:
@@ -99,6 +102,10 @@ class Scene(NamedTuple):
     # record build was ~30 ms/bounce as separate gathers). Layout:
     # n0 n1 n2 (9) | uv0 uv1 uv2 (6) | gn (3) | mat em nee (3) = 21 cols.
     tri_attrs: jnp.ndarray    # (T, 21) float32
+    # p0 e1 e2 (9) | gn (3) | nee pdf (1) = 13 cols: the NEE-side wide
+    # gather (per-component (T,3) gathers land on a slow {1,0:T(8,128)}
+    # layout path, ~18 ms each at 262k lanes; one wide row costs one)
+    tri_nee_attrs: jnp.ndarray  # (T, 13) float32
     # analytic spheres
     sph_center: jnp.ndarray   # (S, 3)
     sph_radius: jnp.ndarray   # (S,)
@@ -177,11 +184,21 @@ def ray_intersect(scene: Scene, static: SceneStatic, o, d, t_min, t_max,
                     trav = (bvh_traverse_lane_hbm
                             if static.n_bvh_nodes > LANE_VMEM_MAX_NODES
                             else bvh_traverse_lane)
-                    hit_t, tri_t, tri_idx, tri_u, tri_v = trav(
-                        scene.bvh_pages, static.n_bvh_nodes, o, d,
-                        t_min, t_max, scene.aabb_lo, scene.aabb_hi,
-                        sort=BVH_SORT and not presorted,
-                    )
+                    if (BVH_RESORT and not presorted
+                            and trav is bvh_traverse_lane):
+                        from ..ops.pallas_bvh import bvh_traverse_lane_resort
+                        rr, cn = (int(x) for x in BVH_RESORT.split(","))
+                        hit_t, tri_t, tri_idx, tri_u, tri_v = \
+                            bvh_traverse_lane_resort(
+                                scene.bvh_pages, static.n_bvh_nodes, o, d,
+                                t_min, t_max, scene.aabb_lo, scene.aabb_hi,
+                                rounds=rr, chunk_nit=cn)
+                    else:
+                        hit_t, tri_t, tri_idx, tri_u, tri_v = trav(
+                            scene.bvh_pages, static.n_bvh_nodes, o, d,
+                            t_min, t_max, scene.aabb_lo, scene.aabb_hi,
+                            sort=BVH_SORT and not presorted,
+                        )
                 else:
                     from ..ops.pallas_bvh import bvh_traverse_treelets
 
@@ -325,10 +342,11 @@ def _perturb_frame(scene: Scene, tri_idx, uv, mat_id, frame: Frame) -> Frame:
 
     # uv-aligned tangent dpdu (trimesh.cpp computeUVTangents)
     ti = jnp.maximum(tri_idx, 0)
-    e1 = scene.tri_e1[ti]
-    e2 = scene.tri_e2[ti]
-    duv1 = scene.tri_uv1[ti] - scene.tri_uv0[ti]
-    duv2 = scene.tri_uv2[ti] - scene.tri_uv0[ti]
+    atn = scene.tri_nee_attrs[ti]          # wide gathers: see field note
+    ata = scene.tri_attrs[ti]
+    e1, e2 = atn[..., 3:6], atn[..., 6:9]
+    duv1 = ata[..., 11:13] - ata[..., 9:11]
+    duv2 = ata[..., 13:15] - ata[..., 9:11]
     det = duv1[..., 0] * duv2[..., 1] - duv1[..., 1] * duv2[..., 0]
     ok_uv = jnp.abs(det) > 1e-12
     inv = m.safe_div(1.0, jnp.where(ok_uv, det, 1.0))
@@ -396,11 +414,20 @@ def occluded(scene: Scene, static: SceneStatic, o, d, t_min, t_max,
                     trav = (bvh_traverse_lane_hbm
                             if static.n_bvh_nodes > LANE_VMEM_MAX_NODES
                             else bvh_traverse_lane)
-                    h, _, _, _, _ = trav(
-                        scene.bvh_pages, static.n_bvh_nodes, o, d,
-                        t_min, t_max, scene.aabb_lo, scene.aabb_hi,
-                        sort=BVH_SORT and not presorted, any_hit=True,
-                    )
+                    if (BVH_RESORT and not presorted
+                            and trav is bvh_traverse_lane):
+                        from ..ops.pallas_bvh import bvh_traverse_lane_resort
+                        rr, cn = (int(x) for x in BVH_RESORT.split(","))
+                        h, _, _, _, _ = bvh_traverse_lane_resort(
+                            scene.bvh_pages, static.n_bvh_nodes, o, d,
+                            t_min, t_max, scene.aabb_lo, scene.aabb_hi,
+                            rounds=rr, chunk_nit=cn, any_hit=True)
+                    else:
+                        h, _, _, _, _ = trav(
+                            scene.bvh_pages, static.n_bvh_nodes, o, d,
+                            t_min, t_max, scene.aabb_lo, scene.aabb_hi,
+                            sort=BVH_SORT and not presorted, any_hit=True,
+                        )
                 else:
                     from ..ops.pallas_bvh import bvh_traverse_treelets
 
@@ -521,10 +548,11 @@ def uv_footprint(scene: Scene, its: Interaction, spread):
     invalid lanes (-> finest level)."""
     T = scene.tri_p0.shape[0]
     ti = jnp.clip(its.prim_id, 0, max(T - 1, 0))
-    e1 = scene.tri_e1[ti]
-    e2 = scene.tri_e2[ti]
-    duv1 = scene.tri_uv1[ti] - scene.tri_uv0[ti]
-    duv2 = scene.tri_uv2[ti] - scene.tri_uv0[ti]
+    atn = scene.tri_nee_attrs[ti]          # wide gathers: see field note
+    ata = scene.tri_attrs[ti]
+    e1, e2 = atn[..., 3:6], atn[..., 6:9]
+    duv1 = ata[..., 11:13] - ata[..., 9:11]
+    duv2 = ata[..., 13:15] - ata[..., 9:11]
     area_w = 0.5 * m.length(jnp.cross(e1, e2))
     area_uv = 0.5 * jnp.abs(
         duv1[..., 0] * duv2[..., 1] - duv1[..., 1] * duv2[..., 0]
@@ -551,10 +579,11 @@ def uv_footprint_aniso(scene: Scene, its: Interaction, spread):
     major-axis vector for multi-tap anisotropic filtering."""
     T = scene.tri_p0.shape[0]
     ti = jnp.clip(its.prim_id, 0, max(T - 1, 0))
-    e1 = scene.tri_e1[ti]
-    e2 = scene.tri_e2[ti]
-    duv1 = scene.tri_uv1[ti] - scene.tri_uv0[ti]
-    duv2 = scene.tri_uv2[ti] - scene.tri_uv0[ti]
+    atn = scene.tri_nee_attrs[ti]          # wide gathers: see field note
+    ata = scene.tri_attrs[ti]
+    e1, e2 = atn[..., 3:6], atn[..., 6:9]
+    duv1 = ata[..., 11:13] - ata[..., 9:11]
+    duv2 = ata[..., 13:15] - ata[..., 9:11]
 
     d = -its.wi_world                       # unit ray direction
     gn = its.gn
@@ -1505,6 +1534,10 @@ class SceneBuilder:
                 tn0, tn1, tn2, tuv0, tuv1, tuv2, tgn,
                 np.asarray(tmat, np.float64)[:, None],
                 np.asarray(tem, np.float64)[:, None],
+                np.asarray(tri_nee, np.float64)[:, None],
+            ], axis=1), jnp.float32),
+            tri_nee_attrs=jnp.asarray(np.concatenate([
+                tp0, te1, te2, tgn,
                 np.asarray(tri_nee, np.float64)[:, None],
             ], axis=1), jnp.float32),
             sph_center=jnp.asarray(sc),

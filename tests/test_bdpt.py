@@ -134,3 +134,43 @@ def test_bdpt_volumetric_matches_volpath():
     c_ref = ref[6:10, 6:10].mean()
     c_img = img[6:10, 6:10].mean()
     assert abs(c_img - c_ref) / c_ref < 0.10, (c_img, c_ref)
+
+
+@pytest.mark.parametrize("kind", ["point", "spot"])
+def test_bdpt_delta_emitters_match_path(kind):
+    """Delta-position emitters in the bidirectional map (vertex.h
+    EDeltaPosition role): a box interior lit by a point/spot light must
+    agree between bdpt and the unidirectional path tracer."""
+    b = SceneBuilder()
+    white = b.add_material(albedo=(0.6, 0.6, 0.6))
+    v, f, uv = shapes.rectangle(
+        Transform.translate([0, 0, 0]) * Transform.rotate([1, 0, 0], -90.0)
+        * Transform.scale([1.5, 1.5, 1]))
+    b.add_mesh(v, f, white, uvs=uv)
+    v, f, uv = shapes.rectangle(
+        Transform.translate([0, 0, 1.5]) * Transform.rotate([1, 0, 0], 180.0)
+        * Transform.scale([1.5, 1.5, 1]))
+    b.add_mesh(v, f, white, uvs=uv)
+    if kind == "point":
+        # outside the camera frustum: bdpt's (s=1, t=0) splat legitimately
+        # draws an in-view point light as a bright dot (the reference's
+        # light image does too) which the path tracer can never see
+        b.add_point_light((0.2, 1.4, -0.5), (4.0, 3.0, 2.0))
+    else:
+        b.add_spot_light((0.2, 0.9, 0.3), (0.0, -1.0, 0.0), (6.0,) * 3,
+                         cutoff_deg=40.0, beamwidth_deg=25.0)
+    scene, static = b.build()
+    cam = Transform.look_at([0.0, 0.8, -1.8], [0.0, 0.2, 0.3], [0, 1, 0])
+    W = H = 16
+    sens = sensor_mod.make_perspective(cam, 45.0, W, H)
+    ref = np.asarray(api.render(
+        scene, static, sens, IntegratorConfig(type=PATH, max_depth=4),
+        api.RenderSettings(width=W, height=H, spp=128, spp_per_pass=32,
+                           filter_type=rfilter.BOX)))
+    img = np.asarray(api.render(
+        scene, static, sens, IntegratorConfig(type=BDPT, max_depth=4),
+        api.RenderSettings(width=W, height=H, spp=64)))
+    assert np.isfinite(img).all()
+    assert ref.mean() > 1e-3
+    rel = abs(img.mean() - ref.mean()) / ref.mean()
+    assert rel < 0.05, f"bdpt {kind} off by {rel:.4f}"
