@@ -189,8 +189,47 @@ def kdbench(argv):
     return 0
 
 
+def rdielprec(argv):
+    """Precompute rough dielectric transmittance tables (the rdielprec
+    utility, src/utils — feeds rtrans.h / data/microfacet): prints T(cos)
+    samples + the fitted polynomial + the diffuse average for a given
+    (distribution, alpha, eta) grid, optionally saving an .npz."""
+    import argparse
+
+    import numpy as np
+
+    from .core import rtrans
+
+    ap = argparse.ArgumentParser(prog="mtsutil rdielprec")
+    ap.add_argument("--dist", choices=["beckmann", "ggx"], default="beckmann")
+    ap.add_argument("--alpha", type=float, nargs="+", default=[0.1, 0.3])
+    ap.add_argument("--eta", type=float, nargs="+", default=[1.5])
+    ap.add_argument("-o", "--output", default="",
+                    help="save tables to this .npz")
+    args = ap.parse_args(argv)
+    dist = 0 if args.dist == "beckmann" else 1
+    cos = np.linspace(0.02, 1.0, 32)
+    out = {}
+    for a in args.alpha:
+        for e in args.eta:
+            T = rtrans.rough_transmittance(dist, a, e, cos)
+            coef, _ = rtrans.fit_poly(dist, a, e)
+            tbar = rtrans.diffuse_transmittance(dist, a, e)
+            key = f"{args.dist}_a{a:g}_eta{e:g}"
+            out[key] = T
+            out[key + "_poly"] = coef
+            print(f"{key}: Tbar={tbar:.5f} "
+                  f"T(0.1)={np.interp(0.1, cos, T):.5f} "
+                  f"T(1.0)={T[-1]:.5f} poly={np.round(coef, 5).tolist()}")
+    if args.output:
+        np.savez(args.output, cos=cos, **out)
+        print(f"wrote {args.output}")
+    return 0
+
+
 UTILITIES = {"tonemap": tonemap, "addimages": addimages,
-             "joinrgb": joinrgb, "kdbench": kdbench}
+             "joinrgb": joinrgb, "kdbench": kdbench,
+             "rdielprec": rdielprec}
 
 
 def main(argv=None):

@@ -274,3 +274,22 @@ def test_mtsimport_obj_cli(tmp_path):
     assert mtsimport.main([str(obj), str(out), "-r", "8x8", "-s", "2"]) == 0
     ls = load_scene(str(out))
     assert ls.static.n_tris == 1
+
+
+def test_mtsutil_rdielprec(tmp_path):
+    """rdielprec utility (src/utils role): precomputes rough-transmittance
+    tables; T must rise with cos and fall with alpha."""
+    from mitsuba_tpu import mtsutil
+
+    out = tmp_path / "rt.npz"
+    assert mtsutil.main(["rdielprec", "--alpha", "0.1", "0.5",
+                         "--eta", "1.5", "-o", str(out)]) == 0
+    z = np.load(out)
+    t_lo = z["beckmann_a0.1_eta1.5"]
+    t_hi = z["beckmann_a0.5_eta1.5"]
+    assert t_lo[-1] > t_lo[5]            # more transmission at normal inc.
+    # normal incidence ~ smooth Fresnel transmittance 1 - F(1.5) = 0.96
+    assert abs(t_lo[-1] - 0.96) < 0.02 and abs(t_hi[-1] - 0.96) < 0.02
+    # roughness raises grazing transmittance (facet normals tilt toward
+    # the ray, cutting the grazing Fresnel spike — rtrans.h table shape)
+    assert t_hi[3] > t_lo[3]
