@@ -1196,8 +1196,13 @@ def bvh_traverse_lane_resort(pages, n_nodes, o, d, t_min, t_max,
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (R,))
     key = ray_sort_keys(o, d, scene_lo, scene_hi)
     key = jnp.where(t_max <= t_min, jnp.uint32(0xFFFFFFFF), key)
+    # transpose once so the sort's payload gathers read contiguous (R,)
+    # rows — gathering scalar payloads sourced from an (R,3) column lands
+    # on a slow-layout path (~18 ms each at 262k)
+    oT = o.T
+    dT = d.T
     r = jax.lax.sort(
-        (key, o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
+        (key, oT[0], oT[1], oT[2], dT[0], dT[1], dT[2],
          t_min, t_max, jnp.arange(R, dtype=jnp.int32)),
         num_keys=1,
     )
