@@ -117,7 +117,9 @@ def kdbench(argv):
 
     from .accel.build import build_bvh, treelet_roots, triangle_aabbs
     from .io.mesh import load_mesh, load_obj
-    from .ops.pallas_bvh import bvh_traverse_treelets, pack_nodes_slim
+    from .ops.pallas_bvh import (bvh_traverse_lane_resort,
+                                 bvh_traverse_treelets, pack_nodes_slim,
+                                 pack_pages)
 
     meshes = (load_obj(a.mesh) if a.mesh.endswith(".obj")
               else [load_mesh(a.mesh)])
@@ -135,6 +137,8 @@ def kdbench(argv):
     bvh = build_bvh(lo, hi, leaf_size=1)
     t_build = time.perf_counter() - t0
     rows = jnp.asarray(pack_nodes_slim(bvh, p0, e1, e2))
+    pages = jnp.asarray(pack_pages(bvh, p0, e1, e2))
+    n_nodes = len(bvh.lo)
     roots = treelet_roots(bvh, max_nodes=4096)
     tl = (jnp.asarray(roots), jnp.asarray(bvh.skip[roots]),
           jnp.asarray(bvh.lo[roots]), jnp.asarray(bvh.hi[roots]))
@@ -151,19 +155,24 @@ def kdbench(argv):
         d = jnp.asarray(d)
         tmin = jnp.zeros(R)
         tmax = jnp.full(R, np.inf)
-        out = bvh_traverse_treelets(rows, *tl, o, d, tmin, tmax,
-                                    jnp.asarray(slo), jnp.asarray(shi),
-                                    slim=True)
-        np.asarray(out[1])
-        t0 = time.perf_counter()
-        for _ in range(a.repeat):
-            out = bvh_traverse_treelets(rows, *tl, o, d, tmin, tmax,
-                                        jnp.asarray(slo), jnp.asarray(shi),
-                                        slim=True)
+        for kern, kname in (
+            (lambda: bvh_traverse_treelets(
+                rows, *tl, o, d, tmin, tmax, jnp.asarray(slo),
+                jnp.asarray(shi), slim=True), "treelet"),
+            (lambda: bvh_traverse_lane_resort(
+                pages, n_nodes, o, d, tmin, tmax, jnp.asarray(slo),
+                jnp.asarray(shi)), "lane-resort"),
+        ):
+            out = kern()
             np.asarray(out[1])
-        dt = (time.perf_counter() - t0) / a.repeat
-        hr = float(np.asarray(out[0]).mean())
-        print(f"  {tag}: {R/dt/1e6:8.2f} Mrays/s  (hit rate {hr:.3f})")
+            t0 = time.perf_counter()
+            for _ in range(a.repeat):
+                out = kern()
+                np.asarray(out[1])
+            dt = (time.perf_counter() - t0) / a.repeat
+            hr = float(np.asarray(out[0]).mean())
+            print(f"  {tag} {kname:11s}: {R/dt/1e6:8.2f} Mrays/s  "
+                  f"(hit rate {hr:.3f})")
 
     # incoherent: chords through the bounding sphere (kdbench.cpp:47)
     u = rng.normal(size=(R, 3)); u /= np.linalg.norm(u, axis=1, keepdims=True)
