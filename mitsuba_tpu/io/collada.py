@@ -105,19 +105,28 @@ def _parse_prims(doc, geom, prim):
         return None
     width = max_off + 1
     kind = _strip(prim.tag)
-    p_el = doc.f(prim, "p")
-    idx = _ints(p_el.text if p_el is not None else "")
+    # legacy <polygons> carries ONE <p> child PER polygon (the reference
+    # converter iterates all of them); <triangles>/<polylist> carry one
+    p_els = doc.fa(prim, "p")
     tris = []
     if kind == "triangles":
+        idx = _ints(p_els[0].text if p_els else "")
         idx = idx.reshape(-1, 3 * width)
         for k in range(3):
             tris.append(idx[:, k * width:(k + 1) * width])
         corner_rows = np.stack(tris, axis=1).reshape(-1, width)
     else:  # polylist / polygons: triangulate each polygon as a fan
         vc_el = doc.f(prim, "vcount")
-        if vc_el is not None:
+        if kind == "polygons":
+            chunks = [_ints(p.text or "") for p in p_els]
+            idx = (np.concatenate(chunks) if chunks
+                   else np.zeros(0, np.int64))
+            vcount = np.asarray([len(c) // width for c in chunks], np.int64)
+        elif vc_el is not None:
+            idx = _ints(p_els[0].text if p_els else "")
             vcount = _ints(vc_el.text)
         else:
+            idx = _ints(p_els[0].text if p_els else "")
             vcount = np.full(int(prim.get("count", "0")), 3, np.int64)
         rows = idx.reshape(-1, width)
         corner_rows = []
@@ -284,11 +293,12 @@ def convert(dae_path: str, out_xml: str, spp: int = 64, size=(512, 512)):
             elif tag == "instance_camera":
                 cam = doc.ref(c.get("url"))
                 if cam is not None:
-                    fov = 45.0
+                    fov, fov_axis = 45.0, "x"
                     for el in cam.iter():
                         if _strip(el.tag) in ("xfov", "yfov") and el.text:
                             fov = float(el.text)
-                    cameras.append((T.copy(), fov))
+                            fov_axis = _strip(el.tag)[0]
+                    cameras.append((T.copy(), fov, fov_axis))
             elif tag == "instance_light":
                 li = doc.ref(c.get("url"))
                 if li is not None:
@@ -337,7 +347,12 @@ def convert(dae_path: str, out_xml: str, spp: int = 64, size=(512, 512)):
              '<scene version="0.6.0">',
              '    <integrator type="path"/>']
     if cameras:
-        T, fov = cameras[0]
+        T, fov, fov_axis = cameras[0]
+        if fov_axis == "y":
+            # scene syntax takes an x-fov: convert through the film aspect
+            aspect = float(size[0]) / float(size[1])
+            fov = float(np.degrees(2.0 * np.arctan(
+                np.tan(np.radians(fov) * 0.5) * aspect)))
         # COLLADA cameras look down local -Z; the scene syntax looks +Z
         # (collada.cpp applies the same handedness fixup)
         T = T @ np.diag([-1.0, 1.0, -1.0, 1.0])

@@ -45,7 +45,7 @@ def main(argv=None):
             lines += [
                 '    <shape type="serialized">',
                 f'        <string name="filename" '
-                f'value="{os.path.basename(ser)}"/>',
+                f'value="{escape(os.path.basename(ser))}"/>',
                 f'        <integer name="shapeIndex" value="{i}"/>',
                 '        <bsdf type="diffuse"/>',
                 '    </shape>']

@@ -22,6 +22,12 @@ are kept:
 * neighbor clamping R0_i <= min_j(R0_j + |x_i - x_j|) as one dense pass
   (the two searchSphere functors, irrcache.cpp:146-180, collapsed into
   their fixed point).
+
+Documented deviation: the translational-gradient accumulation includes the
+j == 1 ring (``j >= 1``), following the published Krivanek-Gautron formula;
+the reference's HemisphereSampler::process skips that ring (``if (j > 1)``),
+so tGrad does not bit-match the reference — the j==1 term is a legitimate
+part of the published estimator and is kept deliberately.
 """
 from __future__ import annotations
 

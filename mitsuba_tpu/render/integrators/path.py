@@ -195,10 +195,12 @@ def li(scene, static, cfg: IntegratorConfig, o, d, seed, pixel, sample,
             from .. import subsurface as sss_mod
             lo_ss = sss_mod.eval_lo(scene, its, d)
             # refracted single scattering (singlescatter.cpp) shares the
-            # spare per-bounce RNG slot 3
-            lo_ss = lo_ss + sss_mod.exact_single_scatter(
-                scene, static, its, d, seed, pixel, sample, dim0 + 3,
-                active)
+            # spare per-bounce RNG slot 3; compile-time gated so dipole-only
+            # scenes don't pay its two BVH traversals + shadow trace
+            if static.has_singlescatter:
+                lo_ss = lo_ss + sss_mod.exact_single_scatter(
+                    scene, static, its, d, seed, pixel, sample, dim0 + 3,
+                    active)
             L = L + jnp.where(active[..., None], thr * lo_ss, 0.0)
 
         # --- next event estimation (path.cpp:196-263 / scene.cpp:828)

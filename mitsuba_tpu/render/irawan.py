@@ -131,7 +131,11 @@ def load_cloth(path: str) -> dict:
         raise ValueError(f"{path}: no pattern block")
     pattern = [int(float(x)) for x in re.findall(_NUM, pat_m.group(1))]
     yarns = []
-    for ym in re.finditer(r"yarn\s*\{(.*?)\}\s*(?=,?\s*(?:yarn|\}|$))",
+    # brace-aware body capture: a yarn block may END with a nested
+    # {r, g, b} spectrum tuple (the grammar is order-free), so the body
+    # must consume one level of nested braces rather than stopping at the
+    # first '}' (which would truncate a trailing kd/ks to its default)
+    for ym in re.finditer(r"yarn\s*\{((?:[^{}]|\{[^{}]*\})*)\}",
                           text, flags=re.S):
         body = ym.group(1)
         kv = _kv_pairs(body)

@@ -152,6 +152,7 @@ class SceneStatic:
     nested_bsdf_types: tuple = ()  # bsdf tags reachable via nested_a/nested_b
     has_normal_maps: bool = False  # any material has a normal/bump texture
     has_sss: bool = False      # any material references a subsurface profile
+    has_singlescatter: bool = False  # any profile in MODE_SINGLESCATTER
     has_boundary_media: bool = False  # any material carries an interior/exterior medium
     ewa_taps: int = 0          # >1 enables N-tap anisotropic (EWA) filtering
     n_bvh_nodes: int = 0       # node count of the slim BVH (lane kernel)
@@ -1589,6 +1590,11 @@ class SceneBuilder:
                 for mm in self.mats
             ),
             has_sss=any(mm.get("subsurface", -1) >= 0 for mm in self.mats),
+            has_singlescatter=any(
+                mm.get("subsurface", -1) >= 0
+                and getattr(self, "_subsurfaces", [])[mm["subsurface"]]
+                .get("mode", 0) == 1
+                for mm in self.mats),
             has_boundary_media=any(
                 mm.get("interior_medium", -1) >= 0
                 or mm.get("exterior_medium", -1) >= 0 for mm in self.mats),

@@ -107,6 +107,10 @@ weave {
     assert pd["pattern"] == [1, 2, 2, 2, 1, 2, 2, 2, 1]
     assert abs(pd["yarns"][0]["umax"] - 38 * np.pi / 180) < 1e-6
     assert pd["yarns"][0]["kd"] == (0.1, 0.2, 0.5)
+    # trailing spectrum field: the yarn-body capture must be brace-aware or
+    # a block ending with a {r,g,b} tuple silently truncates to the default
+    assert pd["yarns"][0]["ks"] == (0.2, 0.3, 0.6)
+    assert pd["yarns"][1]["ks"] == (0.4, 0.4, 0.5)
     tab = IW.build_table([pd], [(5.0, 5.0)])
     assert float(tab.spec_norm[0]) > 0
 
