@@ -180,3 +180,149 @@ def vmf_fit(mean_cosine):
     forMeanCosine — Banerjee et al. approximation)."""
     r = jnp.clip(jnp.asarray(mean_cosine), 0.0, 0.9999)
     return r * (3.0 - r * r) / (1.0 - r * r)
+
+
+# --- cylinder/AABB clipping (host-side, numpy) -----------------------------
+# The ellipse construction from the cylinder/plane intersection, after
+# geometrictools.com IntersectionCylinderPlane.pdf — the math behind the
+# reference's Cylinder::getClippedAABB (src/shapes/cylinder.cpp:277-447)
+# and its interactive cylclip inspector (src/utils/cylclip.cpp). Used by
+# the mtsutil cylclip utility and by tight per-node hair/cylinder bounds.
+
+def _np_coordinate_system(n):
+    import numpy as np
+    if abs(n[0]) > abs(n[1]):
+        inv = 1.0 / np.sqrt(n[0] * n[0] + n[2] * n[2])
+        a = np.array([n[2] * inv, 0.0, -n[0] * inv])
+    else:
+        inv = 1.0 / np.sqrt(n[1] * n[1] + n[2] * n[2])
+        a = np.array([0.0, n[2] * inv, -n[1] * inv])
+    return a, np.cross(n, a)
+
+
+def cyl_naive_aabb(p0, p1, radius):
+    """Exact (unclipped) AABB of a finite cylinder: per-component extent
+    of the end-cap circles."""
+    import numpy as np
+    p0 = np.asarray(p0, np.float64)
+    p1 = np.asarray(p1, np.float64)
+    axis = p1 - p0
+    ln = np.linalg.norm(axis)
+    d = axis / max(ln, 1e-30)
+    s, t = _np_coordinate_system(d)
+    x1, x2 = radius * s, radius * t
+    rng = np.sqrt(x1 * x1 + x2 * x2)
+    return (np.minimum(p0, p1) - rng, np.maximum(p0, p1) + rng)
+
+
+def _cyl_plane_ellipse(plane_pt, plane_n, cyl_pt, cyl_d, radius):
+    """Ellipse of an infinite cylinder cut by a plane: returns
+    (center, axisA, axisB, lenA, lenB) or None when near-parallel."""
+    import numpy as np
+    if abs(np.dot(plane_n, cyl_d)) < 1e-7:
+        return None
+    A = cyl_d - np.dot(cyl_d, plane_n) * plane_n
+    ln = np.linalg.norm(A)
+    if ln != 0:
+        A = A / ln
+        B = np.cross(plane_n, A)
+    else:
+        A, B = _np_coordinate_system(plane_n)
+    delta = plane_pt - cyl_pt
+    delta_proj = delta - cyl_d * np.dot(delta, cyl_d)
+    aD = np.dot(A, cyl_d)
+    bD = np.dot(B, cyl_d)
+    c0 = 1.0 - aD * aD
+    c1 = 1.0 - bD * bD
+    c2 = 2.0 * np.dot(A, delta_proj)
+    c3 = 2.0 * np.dot(B, delta_proj)
+    c4 = np.dot(delta, delta_proj) - radius * radius
+    lam = (c2 * c2 / (4 * c0) + c3 * c3 / (4 * c1) - c4) / (c0 * c1)
+    if lam < 0:
+        return None
+    center = plane_pt + (-c2 / (2 * c0)) * A + (-c3 / (2 * c1)) * B
+    return center, A, B, np.sqrt(c1 * lam), np.sqrt(c0 * lam)
+
+
+def _cyl_face_points(axis, fmin, fmax, cyl_pt, cyl_d, radius):
+    """Points of the cylinder/face-plane ellipse lying inside the face
+    rectangle: edge crossings + in-face componentwise ellipse extrema."""
+    import numpy as np
+    a1, a2 = (axis + 1) % 3, (axis + 2) % 3
+    n = np.zeros(3)
+    n[axis] = 1.0
+    ell = _cyl_plane_ellipse(fmin, n, cyl_pt, cyl_d, radius)
+    if ell is None:
+        return []
+    center, A, B, la, lb = ell
+    if la < 1e-30 or lb < 1e-30:
+        return []
+    pts = []
+    for i in range(4):
+        p1 = np.zeros(3)
+        p2 = np.zeros(3)
+        p1[axis] = p2[axis] = fmin[axis]
+        p1[a1] = fmin[a1] if ((i + 1) & 2) else fmax[a1]
+        p1[a2] = fmin[a2] if ((i + 0) & 2) else fmax[a2]
+        p2[a1] = fmin[a1] if ((i + 2) & 2) else fmax[a1]
+        p2[a2] = fmin[a2] if ((i + 1) & 2) else fmax[a2]
+        q1 = np.array([np.dot(p1 - center, A) / la,
+                       np.dot(p1 - center, B) / lb])
+        q2 = np.array([np.dot(p2 - center, A) / la,
+                       np.dot(p2 - center, B) / lb])
+        rel = q2 - q1
+        qa = np.dot(rel, rel)
+        qb = 2.0 * np.dot(q1, rel)
+        qc = np.dot(q1, q1) - 1.0
+        disc = qb * qb - 4 * qa * qc
+        if disc >= 0 and qa > 0:
+            sd = np.sqrt(disc)
+            for x in ((-qb - sd) / (2 * qa), (-qb + sd) / (2 * qa)):
+                if 0.0 <= x <= 1.0:
+                    pts.append(p1 + (p2 - p1) * x)
+    eA, eB = A * la, B * lb
+    for j in (a1, a2):
+        alpha, beta = eA[j], eB[j]
+        nrm = np.sqrt(alpha * alpha + beta * beta)
+        if nrm < 1e-30:
+            continue
+        ct, st = alpha / nrm, beta / nrm
+        for sgn in (1.0, -1.0):
+            p = center + sgn * (ct * eA + st * eB)
+            if np.all(p >= fmin - 1e-9) and np.all(p <= fmax + 1e-9):
+                pts.append(p)
+    return pts
+
+
+def cyl_clipped_aabb(p0, p1, radius, box_lo, box_hi):
+    """Tight AABB of the (infinite-axis) cylinder clipped to box:
+    accumulates the cylinder/face ellipse points over all 6 faces of the
+    naive-AABB∩box base box, then clips to the box."""
+    import numpy as np
+    p0 = np.asarray(p0, np.float64)
+    p1 = np.asarray(p1, np.float64)
+    box_lo = np.asarray(box_lo, np.float64)
+    box_hi = np.asarray(box_hi, np.float64)
+    nlo, nhi = cyl_naive_aabb(p0, p1, radius)
+    blo = np.maximum(nlo, box_lo)
+    bhi = np.minimum(nhi, box_hi)
+    if np.any(blo > bhi):
+        return blo, np.maximum(blo, bhi)
+    d = (p1 - p0)
+    d = d / max(np.linalg.norm(d), 1e-30)
+    pts = []
+    for axis in range(3):
+        lo_face_min = blo.copy()
+        lo_face_max = bhi.copy()
+        lo_face_max[axis] = blo[axis]
+        pts += _cyl_face_points(axis, lo_face_min, lo_face_max, p0, d,
+                                radius)
+        hi_face_min = blo.copy()
+        hi_face_min[axis] = bhi[axis]
+        pts += _cyl_face_points(axis, hi_face_min, bhi, p0, d, radius)
+    if not pts:
+        return blo, bhi
+    pts = np.asarray(pts)
+    lo = np.clip(pts.min(axis=0), box_lo, box_hi)
+    hi = np.clip(pts.max(axis=0), box_lo, box_hi)
+    return lo, hi

