@@ -909,10 +909,12 @@ class XMLSceneLoader:
             self.builder.add_envmap(img, to_world=to_world.m[:3, :3],
                                     scale=float(p.get("scale", 1.0)))
         elif t == "sunsky" or t == "sky" or t == "sun":
-            # Preetham analytic daylight model baked into a lat-long envmap
-            # (same bake-then-importance-sample architecture as sky.cpp);
-            # the sun is a directional emitter for exact hard shadows
-            # (documented deviation: Preetham fit instead of Hosek-Wilkie)
+            # Hosek-Wilkie analytic sky (the reference's model —
+            # skymodel.cpp over the published RGB dataset) baked into a
+            # lat-long envmap (same bake-then-importance-sample
+            # architecture as sky.cpp); the sun is a directional emitter
+            # for exact hard shadows. model="preetham" selects the older
+            # Preetham fit.
             from ..render import sunsky as sunsky_mod
 
             turb = float(p.get("turbidity", 3.0))
@@ -929,11 +931,16 @@ class XMLSceneLoader:
                     float(p.get("timezone", 9.0)))
             res = int(p.get("resolution", 256))
             if t in ("sky", "sunsky"):
+                alb = p.get("albedo", (0.2, 0.2, 0.2))
+                if np.isscalar(alb):
+                    alb = (float(alb),) * 3
                 img = sunsky_mod.bake_sky_envmap(
                     sd, turbidity=turb, resolution=(res // 2, res),
                     scale=float(p.get("scale", 1.0))
                     * float(p.get("skyScale", 1.0)),
-                    extend_below=bool(p.get("extend", True)))
+                    extend_below=bool(p.get("extend", True)),
+                    model=str(p.get("model", "hosek")),
+                    albedo=tuple(alb))
                 self.builder.add_envmap(img)
             if t in ("sun", "sunsky"):
                 irr = sunsky_mod.sun_directional_irradiance(

@@ -44,20 +44,25 @@ def make_mesh(devices=None, dp: int = None, sp: int = 1) -> Mesh:
 
 def render_pass_sharded(scene, static, sensor, cfg: icommon.IntegratorConfig,
                         settings: api_mod.RenderSettings, mesh: Mesh,
-                        film, sample_base, n_samples: int):
+                        film, sample_base, n_samples: int,
+                        pixel_idx=None, film_h=None):
     """One sharded accumulation pass.
 
     Pixels are sharded over ``dp``; each ``sp`` shard renders a disjoint
     slice of the sample indices; the per-device partial films are psum-ed
     into a replicated film. Differentiable end-to-end (psum is linear).
+    ``pixel_idx``/``film_h`` support the pad-and-crop path: extra lanes
+    carry out-of-image pixel ids and the film carries the padded rows.
     """
     H, W = settings.height, settings.width
     n_dp = mesh.shape["dp"]
     n_sp = mesh.shape["sp"]
-    R = H * W
+    if pixel_idx is None:
+        pixel_idx = jnp.arange(H * W, dtype=jnp.int32)
+    Hf = H if film_h is None else film_h
+    R = pixel_idx.shape[0]
     assert R % n_dp == 0, "pixel count must divide dp"
     assert n_samples % n_sp == 0, "samples per pass must divide sp"
-    pixel_idx = jnp.arange(R, dtype=jnp.int32)
 
     @partial(
         shard_map,
@@ -69,7 +74,7 @@ def render_pass_sharded(scene, static, sensor, cfg: icommon.IntegratorConfig,
     def work(scene_, film_, pix):
         sp_rank = jax.lax.axis_index("sp")
         local_base = sample_base + sp_rank * (n_samples // n_sp)
-        local_film = film_mod.Film.empty(H, W)
+        local_film = film_mod.Film.empty(Hf, W)
         local_film = api_mod.render_pass(
             scene_, static, sensor, cfg, settings, local_film,
             local_base, n_samples // n_sp, pixel_idx=pix,
@@ -84,19 +89,30 @@ def render_sharded(scene, static, sensor, cfg, settings, mesh: Mesh):
     """Full sharded render (the multi-chip Scene::render analog).
 
     Images whose pixel count does not divide the dp axis are padded with
-    extra film rows (rendered below the image and cropped off afterwards)
-    instead of being rejected — the P2 block-decomposition never required
-    divisible tilings either."""
+    extra film rows and LANES instead of being rejected — the P2
+    block-decomposition never required divisible tilings either. The
+    camera mapping keeps the TRUE image height (padding must not change
+    any real pixel's uv); padding lanes carry pixel ids placed further
+    below the padded film than the widest filter footprint, so every one
+    of their splat taps evaluates to zero and the result is exactly the
+    unpadded image (mesh-layout independence, checked by the multichip
+    dryrun)."""
+    from ..render import rfilter as _rf
+
     H, W = settings.height, settings.width
-    H_orig = H
     n_dp = mesh.shape["dp"]
     H_pad = -(-H // n_dp) * n_dp
     crop = H_pad != H
+    pixel_idx = None
+    film_h = None
     if crop:
-        from dataclasses import replace
-
-        settings = replace(settings, height=H_pad)
-        H = H_pad
+        fp = _rf.footprint(settings.filter_type)
+        n_extra = (H_pad - H) * W
+        ids_pad = ((H_pad + fp + 2) * W
+                   + jnp.arange(n_extra, dtype=jnp.int32))
+        pixel_idx = jnp.concatenate(
+            [jnp.arange(H * W, dtype=jnp.int32), ids_pad])
+        film_h = H_pad
     chunk = min(settings.spp_per_pass, settings.spp)
     n_sp = mesh.shape["sp"]
     chunk = max(chunk, n_sp)
@@ -104,10 +120,11 @@ def render_sharded(scene, static, sensor, cfg, settings, mesh: Mesh):
     @partial(jax.jit, static_argnums=(2,))
     def one_pass(scene_, film, n, sample_base):
         return render_pass_sharded(
-            scene_, static, sensor, cfg, settings, mesh, film, sample_base, n
+            scene_, static, sensor, cfg, settings, mesh, film, sample_base,
+            n, pixel_idx=pixel_idx, film_h=film_h,
         )
 
-    film = film_mod.Film.empty(H, W)
+    film = film_mod.Film.empty(H_pad if crop else H, W)
     s = 0
     while s < settings.spp:
         n = min(chunk, settings.spp - s)
@@ -115,7 +132,7 @@ def render_sharded(scene, static, sensor, cfg, settings, mesh: Mesh):
         film = one_pass(scene, film, n, jnp.asarray(s, jnp.int32))
         s += n
     img = film_mod.develop(film)
-    return img[:H_orig] if crop else img
+    return img[:H] if crop else img
 
 
 # === sharding the remaining integrator families ===========================
@@ -290,11 +307,15 @@ def render_mlt_sharded(scene, static, sensor, cfg, settings, mesh: Mesh):
         check_vma=False,
     )
     def run(scene_, lane_):
-        # per-shard chain block: seed, then advance n_passes mutations
+        # per-shard chain block: seed, then advance n_passes mutations.
+        # The luminance normalization b evaluates the SAME flat global
+        # sample set on every shard (replicated stage-1 — its cost is a
+        # sliver of the chain stage), so b and hence the image scale are
+        # exactly mesh-layout independent (SURVEY §4 determinism; checked
+        # by the multichip dryrun).
         b_ = int_mlt.estimate_b(
             scene_, static, sensor, cfg, W, H, seed,
-            max(cfg.luminance_samples // n_dev, 256), mlt_mode=mlt_mode,
-            lane_offset=lane_[0])
+            max(cfg.luminance_samples, 1024), mlt_mode=mlt_mode)
         b_ = jax.lax.pmean(b_, axis_name=("dp", "sp"))
         st = int_mlt.seed_chains(
             scene_, static, sensor, cfg, W, H, seed, lane_.shape[0],

@@ -34,10 +34,16 @@ transmittance through null-boundary chains.
 
 Scope: area + analytic-sphere emitters plus delta-POSITION emitters
 (point/spot, vertex.h EDeltaPosition role — their in-view (s=1, t=0)
-splat draws the light as a dot exactly like the reference light image);
-directional/collimated emitters render through the unidirectional
-family; pinhole perspective/thinlens sensors for the t=0 splats;
-subpaths start in the camera medium.
+splat draws the light as a dot exactly like the reference light image)
+and delta-DIRECTION emitters (directional/collimated, vertex.h
+EDeltaDirection role — degenerate y_0, transport through the
+light-tracing family s>=2 + t=0 splats; matches the reference's plain
+BDPT strategy set with sampleDirect repositioning omitted). Sensors:
+pinhole perspective/thinlens and orthographic (EDeltaDirection camera:
+film-area densities + parallel-projection t=0 splats); telecentric is
+bidirectional-incompatible exactly like the reference
+(telecentric.cpp sampleDirection EError) and routes to the
+unidirectional family. Subpaths start in the camera medium.
 """
 from __future__ import annotations
 
@@ -376,6 +382,13 @@ def generate_subpaths(scene, static, cfg: IntegratorConfig, sensor, o, d,
         pdf_cam, 0, K_eye, seed, lane, sample, DIM_EYE_BASE, False,
         medium0=cam_med,
     )
+    # delta-direction sensors (orthographic, sensor.h EDeltaDirection):
+    # z_1's camera density is the parallel projection's film-AREA density,
+    # not a solid-angle pdf converted with cos/d^2
+    is_dd_cam = sensor.type == sensor_mod.ORTHOGRAPHIC
+    pdf_cam_a = sensor_mod.camera_pdf_area(sensor, eye.p[0], eye.gn[0])
+    eye = eye._replace(pdf_fwd=eye.pdf_fwd.at[0].set(
+        jnp.where(is_dd_cam & eye.valid[0], pdf_cam_a, eye.pdf_fwd[0])))
 
     u_e = rng_mod.uniform4(seed, lane, sample, DIM_LIGHT_EMIT)
     u_ed = rng_mod.uniform2(seed, lane, sample, DIM_LIGHT_EMIT + 1)
@@ -386,7 +399,16 @@ def generate_subpaths(scene, static, cfg: IntegratorConfig, sensor, o, d,
     etype0 = scene.emitters.type[jnp.maximum(ers.e_idx, 0)]
     is_deltaL = ers.valid & ((etype0 == em_mod.POINT)
                              | (etype0 == em_mod.SPOT))
-    q_valid = ers.valid & (ers.is_area | is_deltaL)
+    # delta-DIRECTION emitters (directional/collimated, vertex.h
+    # EDeltaDirection role): the y_0 vertex is degenerate — generic s=1
+    # connections are measure-zero (conn=False) and the MIS entries walk
+    # skips the s'<=1 alternatives via the delta flag; their transport
+    # flows through the light-tracing family (s>=2 connections + t=0
+    # splats), matching plain BDPT without the reference's sampleDirect
+    # repositioning (bdpt.cpp miWeight sampleDirect=false semantics)
+    is_deltaD = ers.valid & ((etype0 == em_mod.DIRECTIONAL)
+                             | (etype0 == em_mod.COLLIMATED))
+    q_valid = ers.valid & (ers.is_area | is_deltaL | is_deltaD)
     beta_q0 = jnp.where(
         q_valid[..., None],
         jnp.where(
@@ -400,9 +422,19 @@ def generate_subpaths(scene, static, cfg: IntegratorConfig, sensor, o, d,
     pdf_dir0 = jnp.where(
         is_deltaL, _emission_dir_pdf(scene, ers.e_idx, ers.d), pdf_dir0)
 
+    # positional pdf of the y_0 vertex: triangle/sphere area pdf for area
+    # emitters, the pick pmf for delta positions, pick pmf x disk density
+    # for directional (the scene-bounding-disk origin of sample_ray)
+    disk_pdf = ers.epmf / jnp.maximum(
+        jnp.pi * scene.radius * scene.radius, 1e-12)
+    pos_pdf = jnp.where(is_deltaL, ers.epmf,
+                        jnp.where(is_deltaD, disk_pdf, ers.pdf_area))
+    is_delta0 = is_deltaL | is_deltaD
+    pdf_dir0 = jnp.where(is_deltaD, 1.0, pdf_dir0)  # discrete dir measure
+
     light = Subpath.empty(K_light, R)
     set0 = lambda a, v: a.at[0].set(v)
-    gn0 = jnp.where(is_deltaL[..., None], 0.0, ers.n)
+    gn0 = jnp.where(is_delta0[..., None], 0.0, ers.n)
     light = light._replace(
         p=set0(light.p, ers.o),
         gn=set0(light.gn, gn0),
@@ -410,20 +442,18 @@ def generate_subpaths(scene, static, cfg: IntegratorConfig, sensor, o, d,
         emitter_id=set0(light.emitter_id,
                         jnp.where(q_valid, ers.e_idx, -1)),
         beta=set0(light.beta, beta_q0),
-        pdf_fwd=set0(light.pdf_fwd,
-                     jnp.where(q_valid,
-                               jnp.where(is_deltaL, ers.epmf, ers.pdf_area),
-                               0.0)),
+        pdf_fwd=set0(light.pdf_fwd, jnp.where(q_valid, pos_pdf, 0.0)),
+        delta=set0(light.delta, is_deltaD),
         delta_origin=set0(light.delta_origin, is_deltaL),
-        conn=set0(light.conn, q_valid),
-        light_pdf_a=set0(light.light_pdf_a,
-                         jnp.where(is_deltaL, ers.epmf, ers.pdf_area)),
+        conn=set0(light.conn, q_valid & ~is_deltaD),
+        light_pdf_a=set0(light.light_pdf_a, pos_pdf),
         valid=set0(light.valid, q_valid),
     )
     if K_light > 1:
         beta_y1 = beta_q0 * m.safe_div(cos0, jnp.maximum(pdf_dir0, 1e-12))[..., None]
         # ers.weight already is full power over all pdfs for every type
-        beta_y1 = jnp.where(is_deltaL[..., None], ers.weight, beta_y1)
+        beta_y1 = jnp.where((is_deltaL | is_deltaD)[..., None], ers.weight,
+                            beta_y1)
         light = random_walk(
             scene, static, light, ray_offset(ers.o, gn0, ers.d), ers.d,
             jnp.where(q_valid[..., None], beta_y1, 0.0), pdf_dir0,
@@ -663,11 +693,12 @@ def li_and_splats(scene, static, cfg: IntegratorConfig, sensor, o, d,
                         ss.dist * (1 - 1e-3), active=ok)
                     ok = ok & vis
                 val = jnp.where(ok[..., None], val * ss.imp[..., None], 0.0)
-                # MIS: y_{s-1} re-sampled from the camera; y_{s-2} via the
+                # MIS: y_{s-1} re-sampled from the camera (area density —
+                # perspective converts the directional pdf, orthographic
+                # uses the parallel film-area density); y_{s-2} via the
                 # bsdf at y_{s-1} with wi from the camera
-                dist2_c = jnp.maximum(ss.dist * ss.dist, 1e-12)
-                pdf_cam = sensor_mod.pdf_ray_direction(sensor, -ss.d)
-                lsubs = {ys: _to_area(pdf_cam, -ss.d, dist2_c, light.gn[ys])}
+                lsubs = {ys: sensor_mod.camera_pdf_area(
+                    sensor, light.p[ys], light.gn[ys])}
                 if s >= 2:
                     dvec = light.p[ys - 1] - light.p[ys]
                     dist2 = jnp.maximum(m.squared_length(dvec), 1e-12)

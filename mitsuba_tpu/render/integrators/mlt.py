@@ -402,11 +402,17 @@ def estimate_b(scene, static, sensor, cfg, width, height, seed,
                lane_offset=0):
     """Stage-1 normalization: b = E_uniform[I(u)] (pssmlt.cpp:297-311)."""
     nslots = n_slots_bdpt(cfg) if mlt_mode else n_slots(cfg)
-    lane = jnp.arange(lanes, dtype=jnp.int32) + lane_offset
-    rounds = max(1, n_samples // lanes)
+    lanes = min(lanes, max(n_samples, 1))
+    rounds = -(-n_samples // lanes)
+    # FLAT global sample ids (offset + k*lanes + i): the sample set
+    # [offset, offset + rounds*lanes) is independent of the lanes/rounds
+    # chunking, so any disjoint partition across devices reproduces the
+    # single-device estimate exactly (mesh-layout independence)
+    base = jnp.arange(lanes, dtype=jnp.int32) + lane_offset
 
     def body(k, acc):
-        u = fresh_table(seed + 49979687, lane, k, nslots)
+        u = fresh_table(seed + 49979687, base + k * lanes,
+                        jnp.asarray(0, jnp.int32), nslots)
         _, I, _, _, _ = _eval_state(scene, static, sensor, cfg, width,
                                     height, u, mlt_mode)
         return acc + jnp.sum(I)

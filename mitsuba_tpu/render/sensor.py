@@ -211,11 +211,16 @@ def image_plane_area(sensor: Sensor):
 
 
 def sample_direct(sensor: Sensor, p):
-    """Connect world points p (R,3) to the sensor aperture (pinhole).
+    """Connect world points p (R,3) to the sensor.
 
-    Supports perspective + thinlens-as-pinhole (the reference connects to a
-    sampled aperture point, perspective.cpp sampleDirect; a zero-radius lens
-    is the dominant configuration). Other sensor types return valid=False.
+    Perspective + thinlens-as-pinhole connect to the aperture point
+    (perspective.cpp sampleDirect; a zero-radius lens is the dominant
+    configuration). Orthographic sensors connect along the fixed view
+    direction to the film-plane projection (orthographic.cpp
+    sampleDirect:235-264 — EDiscrete direction, importance 1/A_film, no
+    distance falloff). Telecentric returns valid=False, matching the
+    reference's explicit bidirectional incompatibility
+    (telecentric.cpp sampleDirect EError). Others return valid=False.
     """
     A = sensor.to_world
     cam_pos = A[:3, 3]
@@ -242,8 +247,46 @@ def sample_direct(sensor: Sensor, p):
     )
     supported = (sensor.type == PERSPECTIVE) | (sensor.type == THINLENS)
     valid = in_front & inside & supported
+
+    # --- orthographic: project p onto the film plane along the fixed view
+    # direction; uv from the parallel projection; importance = 1/A_world
+    # (the D->inf limit of the perspective 1/(A cos^3 d^2)). The ortho
+    # extent lives in to_world's scale (orthographic.cpp convention), so
+    # the projection uses the true inverse, and the film area carries the
+    # world-space Jacobian ||a1 x a2|| of the linear part.
+    local, view, a_world = _ortho_local(sensor, p)
+    xo = local[..., 0] / sensor.ortho_scale[0]
+    yo = local[..., 1] / sensor.ortho_scale[1]
+    uo = (xo + 1.0) * 0.5
+    vo = (1.0 - yo) * 0.5
+    uv_o = jnp.stack([uo, vo], axis=-1)
+    zo = local[..., 2]
+    inside_o = ((uo >= 0.0) & (uo < 1.0) & (vo >= 0.0) & (vo < 1.0)
+                & (zo > jnp.maximum(sensor.near, 1e-6)))
+    imp_o = m.safe_div(1.0, a_world)
+    is_ortho = sensor.type == ORTHOGRAPHIC
+    valid = jnp.where(is_ortho, inside_o, valid)
+    d = jnp.where(is_ortho, -view, d)
+    # world-space distance from p to its film projection along the view
+    dist_o = zo * m.length(A[:3, 2])
+    dist = jnp.where(is_ortho, dist_o, dist)
+    uv = jnp.where(is_ortho, uv_o, uv)
+    imp = jnp.where(is_ortho, imp_o, imp)
     return SensorSample(d=d, dist=dist, uv=uv,
                         imp=jnp.where(valid, imp, 0.0), valid=valid)
+
+
+def _ortho_local(sensor: Sensor, p):
+    """(camera-space point, world view dir, world-space film area) for the
+    orthographic projection; to_world may carry the extent as scale."""
+    A = sensor.to_world
+    A_inv = jnp.linalg.inv(A)
+    local = p @ A_inv[:3, :3].T + A_inv[:3, 3]
+    view = m.normalize(A[:3, 2])
+    a1 = A[:3, 0] * sensor.ortho_scale[0]
+    a2 = A[:3, 1] * sensor.ortho_scale[1]
+    a_world = 4.0 * m.length(m.cross(a1, a2))
+    return local, view, a_world
 
 
 def pdf_ray_direction(sensor: Sensor, d_world):
@@ -264,6 +307,34 @@ def pdf_ray_direction(sensor: Sensor, d_world):
     inside = (u >= 0.0) & (u < 1.0) & (v >= 0.0) & (v < 1.0)
     pdf = m.safe_div(1.0, image_plane_area(sensor) * zs * zs * zs)
     return jnp.where(in_front & inside, pdf, 0.0)
+
+
+def camera_pdf_area(sensor: Sensor, p, n_target):
+    """Area-measure density of the camera generating a first vertex at
+    ``p`` (normal ``n_target``; zero normal = volume vertex, cos := 1) —
+    the pdf the BDPT MIS walk compares the t=0/t=1 alternatives with.
+    Perspective/thinlens: directional pdf x cos/d^2; orthographic: the
+    parallel projection's film-area density |cos| / A_world
+    (orthographic.cpp samplePosition invSurfaceArea x the area-measure
+    Jacobian of the fixed-direction transport)."""
+    A = sensor.to_world
+    cam_pos = A[:3, 3]
+    to_p = p - cam_pos
+    dist2 = jnp.maximum(m.squared_length(to_p), 1e-12)
+    d = to_p / jnp.sqrt(dist2)[..., None]
+    is_vol = m.squared_length(n_target) < 0.5
+    pdf_sa = pdf_ray_direction(sensor, d)
+    cos_t = jnp.where(is_vol, 1.0, jnp.abs(m.dot(n_target, d)))
+    persp = pdf_sa * m.safe_div(cos_t, dist2)
+
+    local, view, a_world = _ortho_local(sensor, p)
+    xo = local[..., 0] / sensor.ortho_scale[0]
+    yo = local[..., 1] / sensor.ortho_scale[1]
+    inside_o = ((jnp.abs(xo) < 1.0) & (jnp.abs(yo) < 1.0)
+                & (local[..., 2] > jnp.maximum(sensor.near, 1e-6)))
+    cos_o = jnp.where(is_vol, 1.0, jnp.abs(m.dot(n_target, view)))
+    ortho = jnp.where(inside_o, m.safe_div(cos_o, a_world), 0.0)
+    return jnp.where(sensor.type == ORTHOGRAPHIC, ortho, persp)
 
 
 def sample_ray(sensor: Sensor, uv, u_aperture):

@@ -187,13 +187,17 @@ def _day_of_year(year, month, day):
 
 def bake_sky_envmap(sun_dir, turbidity=3.0, resolution=(128, 256),
                     scale=1.0, with_sun=False, sun_scale=1.0,
-                    extend_below=True):
-    """Rasterize the Preetham sky into a lat-long RGB envmap (H, W, 3) —
+                    extend_below=True, model="hosek",
+                    albedo=(0.2, 0.2, 0.2)):
+    """Rasterize the analytic sky into a lat-long RGB envmap (H, W, 3) —
     the same bake-then-envmap architecture as sky.cpp's internal bitmap.
 
-    with_sun: burn the solar disk into the map (sunsky mode where the sun
-    participates in envmap CDF importance sampling); otherwise callers pair
-    the map with a directional sun emitter for exact hard shadows.
+    ``model``: "hosek" (default — the reference's Hosek-Wilkie fitted
+    model, per-channel ground ``albedo``) or "preetham" (the round-1..4
+    fallback, kept for comparison). with_sun: burn the solar disk into
+    the map (sunsky mode where the sun participates in envmap CDF
+    importance sampling); otherwise callers pair the map with a
+    directional sun emitter for exact hard shadows.
     """
     H, W = resolution
     v = (np.arange(H) + 0.5) / H
@@ -205,10 +209,16 @@ def bake_sky_envmap(sun_dir, turbidity=3.0, resolution=(128, 256),
     d = np.stack(np.broadcast_arrays(
         st[:, None] * cp[None, :], ct[:, None] * np.ones((1, W)),
         st[:, None] * sp[None, :]), axis=-1)
-    xyz = sky_radiance_xyY(d, sun_dir, turbidity)
-    if not extend_below:
-        xyz = np.where((d[..., 1:2] < 0.0), 0.0, xyz)
-    rgb = np.clip(xyz @ _XYZ_TO_SRGB.T, 0.0, None) * scale
+    if model == "hosek":
+        rgb = hosek_sky_radiance_rgb(d, sun_dir, turbidity, albedo=albedo)
+        if not extend_below:
+            rgb = np.where((d[..., 1:2] < 0.0), 0.0, rgb)
+        rgb = rgb * scale
+    else:
+        xyz = sky_radiance_xyY(d, sun_dir, turbidity)
+        if not extend_below:
+            xyz = np.where((d[..., 1:2] < 0.0), 0.0, xyz)
+        rgb = np.clip(xyz @ _XYZ_TO_SRGB.T, 0.0, None) * scale
     if with_sun:
         s = np.asarray(sun_dir, np.float64)
         s = s / np.linalg.norm(s)
@@ -225,3 +235,99 @@ def sun_directional_irradiance(sun_dir, turbidity=3.0, sun_scale=1.0):
     sunRadiusScale->0 collapse to a directional source)."""
     omega = 2.0 * np.pi * (1.0 - np.cos(SUN_APP_RADIUS))
     return sun_radiance_rgb(sun_dir, turbidity) * omega * sun_scale
+
+
+# === Hosek-Wilkie sky model ===============================================
+# "An Analytic Model for Full Spectral Sky-Dome Radiance" (Hosek & Wilkie,
+# SIGGRAPH 2012) — the model the reference's sky.cpp actually evaluates
+# (src/emitters/sunsky/skymodel.cpp:397 ArHosekSkyModel_GetRadianceInternal
+# + CookConfiguration). The 9-parameter distribution and the quintic
+# elevation spline are implemented here from the paper; the fitted RGB
+# coefficient dataset is the authors' PUBLISHED supplemental data
+# (extracted to data/hosek_rgb.npz by scripts/gen_hosek_data.py —
+# third-party published constants, like the Perez tables above).
+
+_HOSEK_CACHE = None
+
+
+def _hosek_tables():
+    global _HOSEK_CACHE
+    if _HOSEK_CACHE is None:
+        import os
+
+        p = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "data", "hosek_rgb.npz")
+        z = np.load(p)
+        _HOSEK_CACHE = (np.asarray(z["coefs"], np.float64),
+                        np.asarray(z["rads"], np.float64))
+    return _HOSEK_CACHE
+
+
+def _hosek_cook(turbidity, albedo_rgb, solar_elevation):
+    """Cook the per-channel 9-parameter configuration + zenith radiance:
+    quintic Bernstein spline in cbrt(2 elev / pi), linear in the turbidity
+    remainder, linear in albedo (paper sec. 4; per-channel ground albedo
+    like sky.cpp's per-channel model states)."""
+    coefs, rads = _hosek_tables()            # (3,2,10,6,9), (3,2,10,6)
+    t = float(np.clip(turbidity, 1.0, 10.0))
+    ti = int(min(np.floor(t), 9.0))          # 1..9
+    tr = t - ti
+    x = np.clip(2.0 * solar_elevation / np.pi, 0.0, 1.0) ** (1.0 / 3.0)
+    from math import comb
+
+    bw = np.array([comb(5, k) * x ** k * (1.0 - x) ** (5 - k)
+                   for k in range(5 + 1)])   # (6,)
+    alb = np.asarray(albedo_rgb, np.float64).reshape(3, 1)
+
+    def blend(tab):  # tab (3, 2, 10, 6, ...) -> (3, ...)
+        lo = np.tensordot(tab[:, :, ti - 1], bw, axes=([2], [0]))
+        out = lo * (1.0 - tr)
+        if ti < 10:
+            hi = np.tensordot(tab[:, :, ti], bw, axes=([2], [0]))
+            out = out + hi * tr
+        # albedo lerp over axis 1
+        return out[:, 0] * (1.0 - alb.reshape((3,) + (1,) * (out.ndim - 2))) \
+            + out[:, 1] * alb.reshape((3,) + (1,) * (out.ndim - 2))
+
+    cfg = blend(coefs)                       # (3, 9)
+    rad = blend(rads[..., None])[..., 0]     # (3,)
+    return cfg, rad
+
+
+def hosek_sky_radiance_rgb(d_world, sun_dir, turbidity,
+                           albedo=(0.15, 0.15, 0.15), up=(0.0, 1.0, 0.0)):
+    """Hosek-Wilkie RGB sky radiance for directions (..., 3) -> (..., 3).
+
+    F(theta, gamma) = (1 + A e^{B/(cos th + 0.01)}) *
+       (C + D e^{E gamma} + F cos^2 gamma + G chi(H, gamma) + I sqrt(cos th))
+    with chi the anisotropic mie-like phase term; radiance normalized by
+    the CIE-Y sum exactly as the reference converts the dataset's units to
+    its RGB radiance (sky.cpp:434 `/ 106.856980`)."""
+    up = np.asarray(up, np.float64)
+    d = np.asarray(d_world, np.float64)
+    d = d / np.maximum(np.linalg.norm(d, axis=-1, keepdims=True), 1e-12)
+    s = np.asarray(sun_dir, np.float64)
+    s = s / np.linalg.norm(s)
+    elev = np.pi / 2.0 - np.arccos(np.clip(s @ up, -1.0, 1.0))
+    cfg, rad = _hosek_cook(turbidity, albedo, max(elev, 0.0))
+
+    cos_theta = d @ up
+    below = cos_theta < 0.0
+    ct = np.clip(cos_theta, 0.0, 1.0)
+    cos_gamma = np.clip(d @ s, -1.0, 1.0)
+    gamma = np.arccos(cos_gamma)
+
+    out = np.zeros(d.shape[:-1] + (3,), np.float64)
+    for c in range(3):
+        A, B, C, D, E, F, G, I, H = cfg[c]
+        chi = (1.0 + cos_gamma * cos_gamma) / np.power(
+            1.0 + H * H - 2.0 * H * cos_gamma, 1.5)
+        f = ((1.0 + A * np.exp(B / (ct + 0.01)))
+             * (C + D * np.exp(E * gamma) + F * cos_gamma * cos_gamma
+                + G * chi + I * np.sqrt(ct)))
+        out[..., c] = f * rad[c]
+    out /= 106.856980  # sum of CIE Y (sky.cpp:434)
+    # horizon continuation like the Preetham path: fade below-horizon
+    out = np.where(below[..., None], out * np.exp(6.0 * cos_theta)[..., None],
+                   out)
+    return np.clip(out, 0.0, None)

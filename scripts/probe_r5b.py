@@ -36,7 +36,9 @@ def main():
     from mitsuba_tpu.render.integrators.common import (
         DIM_SENSOR, IntegratorConfig, PATH)
 
+    print("building scene...", flush=True)
     scene, static = bench.build_bunny_scene()
+    print("scene built", flush=True)
     W = H = 512
     R = W * H
     cam = Transform.look_at([0.0, 0.25, -0.75], [0.0, 0.1, 0.0], [0, 1, 0])
@@ -55,7 +57,7 @@ def main():
     o = jax.block_until_ready(o)
 
     # --- li at depths (per-bounce marginal cost)
-    for depth in (1, 2, 3, 5):
+    for depth in ([] if os.environ.get("SKIP_LI") else (1, 2, 3, 5)):
         cfg = IntegratorConfig(type=PATH, max_depth=depth)
 
         @jax.jit
@@ -80,7 +82,9 @@ def main():
         return jnp.where(its.valid[:, None], o1, o), \
             jnp.where(its.valid[:, None], d1, d), its.valid
 
+    print('compiling mk_bounce...', flush=True)
     o1, d1, valid = jax.block_until_ready(mk_bounce(o, d))
+    print('bounce rays ready', flush=True)
     pages, n_nodes = scene.bvh_pages, static.n_bvh_nodes
     tmx = jnp.full((R,), 1e30)
 

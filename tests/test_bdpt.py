@@ -174,3 +174,59 @@ def test_bdpt_delta_emitters_match_path(kind):
     assert ref.mean() > 1e-3
     rel = abs(img.mean() - ref.mean()) / ref.mean()
     assert rel < 0.05, f"bdpt {kind} off by {rel:.4f}"
+
+
+def test_bdpt_directional_emitter_matches_path():
+    """Delta-DIRECTION emitters (vertex.h EDeltaDirection role): a box
+    interior lit by a directional light must agree between bdpt (whose
+    transport flows through the s>=2 light-tracing strategies + t=0
+    splats, with the degenerate y_0 gated out of the MIS alternatives)
+    and the unidirectional path tracer (delta-direction NEE)."""
+    b = SceneBuilder()
+    white = b.add_material(albedo=(0.6, 0.6, 0.6))
+    v, f, uv = shapes.rectangle(
+        Transform.translate([0, 0, 0]) * Transform.rotate([1, 0, 0], -90.0)
+        * Transform.scale([1.5, 1.5, 1]))
+    b.add_mesh(v, f, white, uvs=uv)
+    v, f, uv = shapes.rectangle(
+        Transform.translate([0, 0, 1.5]) * Transform.rotate([1, 0, 0], 180.0)
+        * Transform.scale([1.5, 1.5, 1]))
+    b.add_mesh(v, f, white, uvs=uv)
+    b.add_directional_light((0.3, -1.0, 0.4), (2.0, 1.8, 1.5))
+    scene, static = b.build()
+    cam = Transform.look_at([0.0, 0.8, -1.8], [0.0, 0.2, 0.3], [0, 1, 0])
+    W = H = 16
+    sens = sensor_mod.make_perspective(cam, 45.0, W, H)
+    ref = np.asarray(api.render(
+        scene, static, sens, IntegratorConfig(type=PATH, max_depth=4),
+        api.RenderSettings(width=W, height=H, spp=128, spp_per_pass=32,
+                           filter_type=rfilter.BOX)))
+    img = np.asarray(api.render(
+        scene, static, sens, IntegratorConfig(type=BDPT, max_depth=4),
+        api.RenderSettings(width=W, height=H, spp=256, spp_per_pass=64,
+                           filter_type=rfilter.BOX)))
+    assert np.isfinite(img).all()
+    rel = abs(img.mean() - ref.mean()) / ref.mean()
+    assert rel < 0.08, f"bdpt directional off by {rel:.4f}"
+
+
+def test_bdpt_orthographic_sensor_matches_path():
+    """Orthographic (delta-direction) sensor endpoints: parallel t=0
+    splats + film-area camera densities in the MIS walk
+    (orthographic.cpp sampleDirect/samplePosition roles)."""
+    scene, static, _, _, _ = _cornell()
+    cam = Transform.look_at([0.5, 0.5, -1.6], [0.5, 0.5, 0.5], [0, 1, 0]) \
+        * Transform.scale([0.55, 0.55, 1.0])
+    W = H = 16
+    sens = sensor_mod.make_orthographic(cam, W, H)
+    ref = np.asarray(api.render(
+        scene, static, sens, IntegratorConfig(type=PATH, max_depth=3),
+        api.RenderSettings(width=W, height=H, spp=160, spp_per_pass=32,
+                           filter_type=rfilter.BOX)))
+    img = np.asarray(api.render(
+        scene, static, sens, IntegratorConfig(type=BDPT, max_depth=3),
+        api.RenderSettings(width=W, height=H, spp=64, spp_per_pass=32,
+                           filter_type=rfilter.BOX)))
+    assert np.isfinite(img).all()
+    rel = abs(img.mean() - ref.mean()) / ref.mean()
+    assert rel < 0.06, f"bdpt ortho off by {rel:.4f}"

@@ -215,3 +215,58 @@ def test_perlin_noise_texture():
         jnp.zeros((50_000, 3)), p=pts))
     assert 0.3 < out.mean() < 0.7 and out.std() > 0.05
     assert out.min() >= -0.2 and out.max() <= 1.2
+
+
+def test_hosek_sky_matches_reference_model():
+    """Hosek-Wilkie RGB sky (render/sunsky.py hosek_sky_radiance_rgb) must
+    reproduce the published ArHosekSkyModel (the model skymodel.cpp:397
+    evaluates) — goldens generated by compiling the authors' BSD sample
+    implementation standalone and evaluating arhosek_tristim_skymodel_radiance
+    at direction-achievable (theta, gamma) pairs."""
+    import numpy as np
+    from mitsuba_tpu.render.sunsky import hosek_sky_radiance_rgb
+
+    # (turbidity, albedo, sun_elev) -> rows of
+    # (view_theta, azimuth, golden RGB before the CIE-Y normalization)
+    golden = {
+        (4.0, 0.15, 0.6): [
+            (0.3, 0.0, (3.85052498, 5.45107833, 8.80297205)),
+            (0.9, 1.0, (5.39944245, 7.79958744, 12.0892184)),
+            (1.2, 2.5, (5.03433971, 8.45885053, 13.7761208)),
+            (1.45, 3.1, (11.823874, 16.8287968, 22.0529695)),
+        ],
+        (7.3, 0.4, 0.12): [
+            (0.3, 0.0, (1.57365911, 2.21159868, 2.96879558)),
+            (0.9, 1.0, (3.80908528, 4.44151448, 4.79796298)),
+            (1.2, 2.5, (4.66603491, 5.83937126, 5.99351018)),
+            (1.45, 3.1, (7.08138741, 7.66288417, 6.37979923)),
+        ],
+        (2.2, 0.0, 1.2): [
+            (0.3, 0.0, (7.80706112, 9.48526272, 13.7297417)),
+            (0.9, 1.0, (3.44111542, 6.09672245, 12.1218209)),
+            (1.2, 2.5, (3.89287952, 7.09948334, 13.6035187)),
+            (1.45, 3.1, (8.34042476, 13.1833071, 20.685514)),
+        ],
+    }
+    for (turb, alb, elev), rows in golden.items():
+        s = np.array([np.cos(elev), np.sin(elev), 0.0])
+        for theta, az, ref in rows:
+            d = np.array([np.sin(theta) * np.cos(az), np.cos(theta),
+                          np.sin(theta) * np.sin(az)])
+            out = hosek_sky_radiance_rgb(d, s, turb, albedo=(alb,) * 3)
+            out = out * 106.856980  # undo the sky.cpp CIE-Y normalization
+            np.testing.assert_allclose(out, ref, rtol=2e-5,
+                                       err_msg=f"T={turb} theta={theta}")
+
+
+def test_hosek_brighter_horizon_than_zenith_low_sun():
+    """Qualitative H-W property the Preetham stand-in got wrong by a
+    larger margin: strong horizon brightening at low sun."""
+    import numpy as np
+    from mitsuba_tpu.render.sunsky import hosek_sky_radiance_rgb
+
+    s = np.array([np.cos(0.15), np.sin(0.15), 0.0])
+    zenith = hosek_sky_radiance_rgb(np.array([0.0, 1.0, 0.0]), s, 3.0)
+    horizon = hosek_sky_radiance_rgb(
+        np.array([-np.cos(0.02), np.sin(0.02), 0.0]), s, 3.0)
+    assert horizon[1] > zenith[1] * 1.5
