@@ -65,13 +65,17 @@ MANIFOLD_THETA = 0.05  # cone half-angle of the exit-direction proposal
 
 
 def _manifold_capable(static) -> bool:
-    """The manifold perturbation targets analytic-sphere specular chains
-    (render/manifold.py scope); other scenes keep the 4-strategy set."""
+    """The manifold perturbation targets specular chains the differentiable
+    chain map covers: analytic spheres AND/OR triangle-mesh dielectrics up
+    to the manifold cap (render/manifold.py; scene.man_tri rows built by
+    SceneBuilder — the reference walks arbitrary mesh chains,
+    manifold.cpp)."""
     from .. import bsdf as B
 
-    return static.n_spheres > 0 and (
-        B.DIELECTRIC in static.bsdf_types
-        or B.THIN_DIELECTRIC in static.bsdf_types)
+    has_diel = (B.DIELECTRIC in static.bsdf_types
+                or B.THIN_DIELECTRIC in static.bsdf_types)
+    return has_diel and (static.n_spheres > 0
+                         or static.n_manifold_tris > 0)
 
 
 def n_slots(cfg: icommon.IntegratorConfig) -> int:
@@ -213,21 +217,25 @@ def _manifold_proposal(scene, static, u_cur, u_prop, is_mani, seed, lane,
     mtyp = scene.materials.type[scene.sph_mat]
     diel = (mtyp == B.DIELECTRIC) | (mtyp == B.THIN_DIELECTRIC)
     etas = jnp.where(diel, scene.materials.eta[scene.sph_mat, 0], 1.0)
+    # specular-MESH rows extend the chain map to triangle dielectrics
+    # (manifold.cpp mesh chains); (1, 19) zero rows disable the branch
+    mesh = scene.man_tri if static.n_manifold_tris > 0 else None
 
     o_l, n_l = ers.o, ers.n
-    tr = jax.vmap(mani.chain_exit_dir, in_axes=(0, 0, 0, None, None, None))
-    d0 = tr(u2_e, o_l, n_l, centers, radii, etas)
+    tr = jax.vmap(mani.chain_exit_dir,
+                  in_axes=(0, 0, 0, None, None, None, None))
+    d0 = tr(u2_e, o_l, n_l, centers, radii, etas, mesh)
     r2 = rng_mod.uniform2(seed + 48611, lane, step, 1)
     d_t = mani.perturb_cone(d0, r2, MANIFOLD_THETA)
     u_new, ok_f = mani.solve_exit_dir(u2_e, o_l, n_l, d_t,
-                                      centers, radii, etas)
+                                      centers, radii, etas, mesh)
     # reverse walk must reproduce the current coordinates, else the move
     # is not reversible (multi-root chain maps) and must self-transition
     u_back, ok_r = mani.solve_exit_dir(u_new, o_l, n_l, d0,
-                                       centers, radii, etas)
+                                       centers, radii, etas, mesh)
     rt = jnp.max(jnp.abs(u_back - u2_e), axis=-1) < 1e-3
-    det0 = mani.det_omega(u2_e, o_l, n_l, centers, radii, etas)
-    det1 = mani.det_omega(u_new, o_l, n_l, centers, radii, etas)
+    det0 = mani.det_omega(u2_e, o_l, n_l, centers, radii, etas, mesh)
+    det1 = mani.det_omega(u_new, o_l, n_l, centers, radii, etas, mesh)
     ok = is_mani & ers.valid & ers.is_area & ok_f & ok_r & rt & (det1 > 1e-12)
     jac_ratio = jnp.where(ok, m.safe_div(det0, det1), 1.0)
     base2 = u_prop[:, int_bdpt.DIM_LIGHT_EMIT + 1, :2]

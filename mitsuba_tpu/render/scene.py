@@ -132,6 +132,10 @@ class Scene(NamedTuple):
     aabb_lo: jnp.ndarray      # (3,)
     aabb_hi: jnp.ndarray      # (3,)
     radius: jnp.ndarray       # () bounding-sphere radius
+    # specular-MESH manifold rows [p0 e1 e2 | n0 n1 n2 | eta] (Tm, 19)
+    # for render/manifold.py mesh chains ((1, 19) zero when absent or the
+    # dielectric mesh exceeds the manifold cap)
+    man_tri: jnp.ndarray = jnp.zeros((1, 19))
 
 
 @dataclass(frozen=True)
@@ -156,6 +160,7 @@ class SceneStatic:
     has_boundary_media: bool = False  # any material carries an interior/exterior medium
     ewa_taps: int = 0          # >1 enables N-tap anisotropic (EWA) filtering
     n_bvh_nodes: int = 0       # node count of the slim BVH (lane kernel)
+    n_manifold_tris: int = 0   # dielectric-mesh tris usable by manifold walks
 
 
 # === device queries =======================================================
@@ -1562,6 +1567,27 @@ class SceneBuilder:
             aabb_hi=jnp.asarray(scene_hi, jnp.float32),
             radius=jnp.asarray(radius, jnp.float32),
         )
+        # specular-MESH triangles usable by the manifold walk (capped:
+        # the walk brute-forces the set per Newton step, manifold.py)
+        MAX_MANIFOLD_TRIS = 4096
+        n_man = 0
+        man_rows = np.zeros((1, 19), np.float32)
+        if T > 0:
+            mtypes_arr = np.asarray([mm["type"] for mm in self.mats])
+            tri_types = mtypes_arr[np.asarray(tmat)]
+            diel = np.isin(tri_types, (bsdf_mod.DIELECTRIC,
+                                       bsdf_mod.THIN_DIELECTRIC))
+            idx = np.nonzero(diel)[0]
+            if 0 < idx.size <= MAX_MANIFOLD_TRIS:
+                etas_arr = np.asarray(
+                    [mm["eta"][0] for mm in self.mats], np.float64)
+                man_rows = np.concatenate([
+                    tp0[idx], te1[idx], te2[idx],
+                    tn0[idx], tn1[idx], tn2[idx],
+                    etas_arr[np.asarray(tmat)[idx], None],
+                ], axis=1).astype(np.float32)
+                n_man = int(idx.size)
+        scene = scene._replace(man_tri=jnp.asarray(man_rows))
         static = SceneStatic(
             n_tris=T,
             n_spheres=S,
@@ -1600,6 +1626,7 @@ class SceneBuilder:
                 or mm.get("exterior_medium", -1) >= 0 for mm in self.mats),
             ewa_taps=int(getattr(self, "ewa_taps", 0)),
             n_bvh_nodes=n_bvh_nodes,
+            n_manifold_tris=n_man,
         )
         return scene, static
 
