@@ -8,8 +8,14 @@ import struct
 import numpy as np
 
 
-def load_vol(path: str):
-    """Returns (density (D, H, W) float32, world_to_grid (4, 4))."""
+def load_vol(path: str, mmap: bool = True):
+    """Returns (density (D, H, W) float32, world_to_grid (4, 4)).
+
+    ``mmap``: float32 single-channel files are memory-mapped instead of
+    read into RAM (the reference's beyond-RAM file handling,
+    libcore/mmap.cpp + gridvolume.cpp:628 GridDataSource mapping) — the
+    array pages in lazily, so build-time bricking/downsampling of grids
+    larger than host RAM touches only what it reads."""
     with open(path, "rb") as f:
         magic = f.read(3)
         assert magic == b"VOL", f"bad magic {magic!r}"
@@ -18,7 +24,10 @@ def load_vol(path: str):
         enc, xres, yres, zres, channels = struct.unpack("<iiiii", f.read(20))
         bbox = struct.unpack("<6f", f.read(24))
         n = xres * yres * zres * channels
-        if enc == 1:
+        if enc == 1 and mmap and channels == 1:
+            data = np.memmap(path, dtype="<f4", mode="r", offset=48,
+                             shape=(n,))
+        elif enc == 1:
             data = np.frombuffer(f.read(4 * n), "<f4")
         elif enc == 2:
             data = np.frombuffer(f.read(2 * n), "<f2").astype(np.float32)
@@ -39,7 +48,9 @@ def load_vol(path: str):
     w2g[1, 1] = 1.0 / extent[1]
     w2g[2, 2] = 1.0 / extent[2]
     w2g[:3, 3] = -lo / extent
-    return grid.astype(np.float32), w2g
+    if grid.dtype != np.float32:
+        grid = grid.astype(np.float32)
+    return grid, w2g
 
 
 def save_vol(path: str, grid: np.ndarray, bbox_lo=(0, 0, 0), bbox_hi=(1, 1, 1)):

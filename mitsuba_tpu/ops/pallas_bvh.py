@@ -878,7 +878,10 @@ def _sweep_slim8(rows_ref, scr_ref, oxv, oyv, ozv, dxv, dyv, dzv,
 # "cache" is the per-sublane page register file.
 
 PAGE = 128          # nodes per page
-PCOMP = 16          # rows per page (11 components padded to 2 f32 tiles)
+PCOMP = 11          # rows per page (one row per node component; dynamic
+                    # sublane indexing needs no tile padding, and the 31%
+                    # table shrink vs the padded-16 layout raises the
+                    # VMEM-resident ceiling to ~2.3M nodes)
 LSTRIP = 10         # traversal steps per page reload
 
 
@@ -1273,21 +1276,30 @@ def bvh_traverse_lane(pages, n_nodes, o, d, t_min, t_max,
 # async copies issued together, one wait each; ~1-2 us amortized over the
 # strip's compute). Same traversal, no scene-size ceiling below HBM.
 
-def _sweep_lane_hbm(pages_hbm, scr_ref, page_scr, sems, n_nodes,
+def _sweep_lane_hbm(pages_hbm, scr_ref, res_ref, page_scr, sems, n_nodes,
                     oxv, oyv, ozv, dxv, dyv, dzv,
                     inx, iny, inz, tmin, node0, bt, bi, bu, bv,
-                    any_hit=False, strip=LSTRIP):
+                    any_hit=False, strip=LSTRIP, max_nit=0):
     """Per-lane paged traversal with HBM-resident pages. ``page_scr``:
     (BS*PCOMP, 128) VMEM scratch holding each sublane's current page;
-    ``sems``: (BS,) DMA semaphores."""
+    ``sems``: (BS,) DMA semaphores; ``scr_ref``: (BS, 1) int32 VMEM for
+    the vector->scalar roundtrip; ``res_ref``: (BS,) int32 SMEM holding
+    each sublane's RESIDENT page (page-reuse cache: a sublane that stays
+    inside its page across outer iterations — the common case — skips
+    the re-DMA entirely). ``max_nit`` > 0 bounds the strip iterations for
+    the chunked mid-traversal-resort driver."""
     NP = pages_hbm.shape[0] // PCOMP
     Nn = n_nodes
     BIG = jnp.int32(NP + 1)
 
+    for j in range(BS):
+        res_ref[j] = jnp.int32(-1)                       # nothing resident
     state0 = (jnp.min(node0), node0, bt, bi, bu, bv,
               jnp.zeros((), jnp.int32))
 
     def cond(st):
+        if max_nit:
+            return (st[0] < Nn) & (st[6] < max_nit)
         return st[0] < Nn
 
     def body(st):
@@ -1300,15 +1312,25 @@ def _sweep_lane_hbm(pages_hbm, scr_ref, page_scr, sems, n_nodes,
         dmas = []
         for j in range(BS):
             pj = jnp.minimum(scr_ref[j, 0], NP - 1) * PCOMP
-            dma = pltpu.make_async_copy(
-                pages_hbm.at[pl.ds(pj, PCOMP), :],
-                page_scr.at[pl.ds(j * PCOMP, PCOMP), :],
-                sems.at[j],
-            )
-            dma.start()
-            dmas.append(dma)
-        for dma in dmas:
-            dma.wait()
+            stale = res_ref[j] != pj
+
+            @pl.when(stale)
+            def _(pj=pj, j=j):
+                pltpu.make_async_copy(
+                    pages_hbm.at[pl.ds(pj, PCOMP), :],
+                    page_scr.at[pl.ds(j * PCOMP, PCOMP), :],
+                    sems.at[j],
+                ).start()
+            res_ref[j] = pj
+            dmas.append((stale, pj, j))
+        for stale, pj, j in dmas:
+            @pl.when(stale)
+            def _(pj=pj, j=j):
+                pltpu.make_async_copy(
+                    pages_hbm.at[pl.ds(pj, PCOMP), :],
+                    page_scr.at[pl.ds(j * PCOMP, PCOMP), :],
+                    sems.at[j],
+                ).wait()
 
         tabs = [
             jnp.stack([page_scr[j * PCOMP + c, :] for j in range(BS)],
@@ -1377,8 +1399,8 @@ def _sweep_lane_hbm(pages_hbm, scr_ref, page_scr, sems, n_nodes,
 
         return (jnp.min(node), node, bt, bi, bu, bv, nit + 1)
 
-    _, _, bt, bi, bu, bv, nit = jax.lax.while_loop(cond, body, state0)
-    return bt, bi, bu, bv, nit
+    _, node_f, bt, bi, bu, bv, nit = jax.lax.while_loop(cond, body, state0)
+    return bt, bi, bu, bv, nit, node_f
 
 
 @partial(jax.jit, static_argnames=("n_nodes", "interpret", "any_hit",
@@ -1423,13 +1445,13 @@ def bvh_traverse_lane_hbm(pages, n_nodes, o, d, t_min, t_max,
 
     def kern(pages_r, *rest):
         ins = [r[0] for r in rest[:8]]
-        scr, page_scr, sems = rest[-3], rest[-2], rest[-1]
-        outs = rest[8:-3]
+        scr, res, page_scr, sems = rest[-4], rest[-3], rest[-2], rest[-1]
+        outs = rest[8:-4]
         oxv, oyv, ozv, dxv, dyv, dzv, tmin, tmaxv = ins
         inx, iny, inz = _safe_inv_v(dxv), _safe_inv_v(dyv), _safe_inv_v(dzv)
         node0 = jnp.where(tmaxv > tmin, 0, n_nodes)
-        bt, bi, bu, bv, _ = _sweep_lane_hbm(
-            pages_r, scr, page_scr, sems, n_nodes, oxv, oyv, ozv,
+        bt, bi, bu, bv, _, _ = _sweep_lane_hbm(
+            pages_r, scr, res, page_scr, sems, n_nodes, oxv, oyv, ozv,
             dxv, dyv, dzv, inx, iny, inz, tmin, node0, tmaxv,
             jnp.full((BS, LANES), -1, jnp.int32),
             jnp.zeros((BS, LANES), jnp.float32),
@@ -1457,6 +1479,7 @@ def bvh_traverse_lane_hbm(pages, n_nodes, o, d, t_min, t_max,
         ),
         scratch_shapes=[
             pltpu.VMEM((BS, 1), jnp.int32),
+            pltpu.SMEM((BS,), jnp.int32),
             pltpu.VMEM((BS * PCOMP, LANES), jnp.float32),
             pltpu.SemaphoreType.DMA((BS,)),
         ],
@@ -1471,7 +1494,493 @@ def bvh_traverse_lane_hbm(pages, n_nodes, o, d, t_min, t_max,
     return hitm, jnp.where(hitm, t, jnp.inf), idx, u, v
 
 
+@partial(jax.jit, static_argnames=("n_nodes", "any_hit", "strip", "max_nit",
+                                  "interpret"))
+def _lane_chunk_hbm(pages, n_nodes, ox, oy, oz, dx, dy, dz, t_min,
+                    node_in, t_in, i_in, u_in, v_in,
+                    any_hit=False, strip=LSTRIP, max_nit=0, interpret=False):
+    """HBM-paged sibling of _lane_chunk: one bounded traversal chunk
+    resuming from per-lane state, pages DMA'd on demand with the
+    page-reuse cache."""
+    R = ox.shape[0]
+    Rp = -(-R // BLOCK) * BLOCK
+    grid = Rp // BLOCK
+
+    def plane(x, fill, dtype=jnp.float32):
+        x = jnp.asarray(x, dtype)
+        x = jnp.pad(x, (0, Rp - R), constant_values=fill)
+        return x.reshape(grid, BS, LANES)
+
+    ins = [
+        plane(ox, 0.0), plane(oy, 0.0), plane(oz, 0.0),
+        plane(dx, 1.0), plane(dy, 0.0), plane(dz, 0.0),
+        plane(t_min, 0.0),
+        plane(node_in, n_nodes, jnp.int32),
+        plane(t_in, 0.0), plane(i_in, -1, jnp.int32),
+        plane(u_in, 0.0), plane(v_in, 0.0),
+    ]
+
+    ray_spec = pl.BlockSpec((1, BS, LANES), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    tab_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+
+    def kern(pages_r, *rest):
+        vals = [r[0] for r in rest[:12]]
+        scr, res, page_scr, sems = rest[-4], rest[-3], rest[-2], rest[-1]
+        outs = rest[12:-4]
+        oxv, oyv, ozv, dxv, dyv, dzv, tmin, node0, bt0, bi0, bu0, bv0 = vals
+        inx, iny, inz = _safe_inv_v(dxv), _safe_inv_v(dyv), _safe_inv_v(dzv)
+        bt, bi, bu, bv, nit, node = _sweep_lane_hbm(
+            pages_r, scr, res, page_scr, sems, n_nodes, oxv, oyv, ozv,
+            dxv, dyv, dzv, inx, iny, inz, tmin, node0, bt0, bi0, bu0, bv0,
+            any_hit=any_hit, strip=strip, max_nit=max_nit,
+        )
+        outs[0][0] = bt
+        outs[1][0] = bi
+        outs[2][0] = bu
+        outs[3][0] = bv
+        outs[4][0] = node
+
+    out = pl.pallas_call(
+        kern,
+        grid=(grid,),
+        in_specs=[tab_spec] + [ray_spec] * 12,
+        out_specs=[ray_spec] * 5,
+        out_shape=[
+            jax.ShapeDtypeStruct((grid, BS, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((grid, BS, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((grid, BS, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((grid, BS, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((grid, BS, LANES), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((BS, 1), jnp.int32),
+            pltpu.SMEM((BS,), jnp.int32),
+            pltpu.VMEM((BS * PCOMP, LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA((BS,)),
+        ],
+        interpret=interpret,
+    )(pages, *ins)
+    return tuple(x.reshape(Rp)[:R] for x in out)
+
+
+@partial(jax.jit, static_argnames=("n_nodes", "any_hit", "strip", "rounds",
+                                  "chunk_nit", "interpret"))
+def bvh_traverse_lane_hbm_resort(pages, n_nodes, o, d, t_min, t_max,
+                                 scene_lo, scene_hi, any_hit=False,
+                                 strip=LSTRIP, rounds=3, chunk_nit=24,
+                                 interpret=False):
+    """HBM-paged traversal with mid-traversal node-pointer compaction —
+    the page-locality lever that makes the beyond-VMEM tier fast: after a
+    bounded chunk, lanes are re-sorted by their (monotone) node pointer so
+    each sublane's lanes cluster onto FEW pages, turning the 8 per-
+    iteration DMAs into mostly cache hits (page-reuse scratch) and raising
+    per-step lane occupancy exactly like bvh_traverse_lane_resort."""
+    R = o.shape[0]
+    t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (R,))
+    t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (R,))
+    key = ray_sort_keys(o, d, scene_lo, scene_hi)
+    key = jnp.where(t_max <= t_min, jnp.uint32(0xFFFFFFFF), key)
+    oT = o.T
+    dT = d.T
+    r = jax.lax.sort(
+        (key, oT[0], oT[1], oT[2], dT[0], dT[1], dT[2],
+         t_min, t_max, jnp.arange(R, dtype=jnp.int32)),
+        num_keys=1,
+    )
+    ox, oy, oz, dx, dy, dz, tmn, tmx, orig = r[1:]
+    node = jnp.where(tmx > tmn, 0, n_nodes).astype(jnp.int32)
+    bt = tmx
+    bi = jnp.full((R,), -1, jnp.int32)
+    bu = jnp.zeros((R,))
+    bv = jnp.zeros((R,))
+    for k in range(rounds):
+        bt, bi, bu, bv, node = _lane_chunk_hbm(
+            pages, n_nodes, ox, oy, oz, dx, dy, dz, tmn,
+            node, bt, bi, bu, bv,
+            any_hit=any_hit, strip=strip, max_nit=chunk_nit,
+            interpret=interpret)
+        rr = jax.lax.sort(
+            (node, ox, oy, oz, dx, dy, dz, tmn, bt, bi, bu, bv, orig),
+            num_keys=1,
+        )
+        node, ox, oy, oz, dx, dy, dz, tmn, bt, bi, bu, bv, orig = rr
+    bt, bi, bu, bv, node = _lane_chunk_hbm(
+        pages, n_nodes, ox, oy, oz, dx, dy, dz, tmn,
+        node, bt, bi, bu, bv,
+        any_hit=any_hit, strip=strip, max_nit=0, interpret=interpret)
+    back = jax.lax.sort((orig, bt, bi, bu, bv), num_keys=1)
+    hitm = back[2] >= 0
+    return (hitm, jnp.where(hitm, back[1], jnp.inf), back[2], back[3],
+            back[4])
+
+
 # node count above which the VMEM-resident page table would not fit the
 # Pallas VMEM budget and the HBM-paged kernel takes over (pages table
-# bytes = nodes/128 * 16 rows * 512 B)
-LANE_VMEM_MAX_NODES = 1_500_000
+# bytes = nodes/128 * 11 rows * 512 B)
+LANE_VMEM_MAX_NODES = 2_300_000
+
+
+# --- wide-page lane traversal: PAGE in {128, 256, 512, 1024} ---------------
+#
+# Measured (r5 probes, bunny bounce rays): with 128-node pages the sweep
+# runs at ~5% lane occupancy — after the node-pointer sort, 128 sorted
+# lanes span ~1 page only while most lanes are alive; as lanes retire the
+# survivors' pointer span grows to thousands of nodes, so a sublane's
+# min-page holds few lanes and extra resort rounds stop helping. Wider
+# pages attack exactly that: a PAGE-node page needs vpp = PAGE/128 vregs
+# per component and each gather becomes a (seg == k)-select over the vpp
+# vregs (~1.3x per-step vector ops at 256, ~1.65x at 512) while the
+# number of lanes inside the current page grows with PAGE (up to vpp x
+# occupancy in the diverged regime) — a net win measured at 256/512.
+
+def pack_pages_w(bvh, p0, e1, e2, page: int = 256) -> np.ndarray:
+    """(n_pages * 11 * vpp, 128) float32 wide-page rows (leaf_size=1 BVH).
+    Page p, component c, vreg k lives at row p*(11*vpp) + c*vpp + k and
+    holds nodes [p*page + k*128, p*page + (k+1)*128)."""
+    assert page % 128 == 0
+    vpp = page // 128
+    pcomp = 11 * vpp
+    N = len(bvh.lo)
+    counts = np.where(bvh.prim_first >= 0, bvh.prim_count, 0)
+    assert counts.max() <= 1, "lane layout requires a leaf_size=1 BVH"
+    assert N < (1 << 24) and len(p0) < (1 << 24)
+    n_pages = -(-N // page)
+    comp = np.zeros((11, n_pages * page), np.float32)
+    comp[9, :] = float(N)
+    comp[10, :] = -1.0
+    inner = counts == 0
+    leaf = ~inner
+    tri = np.zeros(N, np.int64)
+    tri[leaf] = bvh.prim_order[bvh.prim_first[leaf]]
+    idx = np.arange(N)
+    for c in range(3):
+        comp[c, idx[inner]] = bvh.lo[inner, c]
+        comp[3 + c, idx[inner]] = bvh.hi[inner, c]
+        comp[c, idx[leaf]] = p0[tri[leaf], c]
+        comp[3 + c, idx[leaf]] = e1[tri[leaf], c]
+        comp[6 + c, idx[leaf]] = e2[tri[leaf], c]
+    comp[9, idx] = bvh.skip.astype(np.float32)
+    comp[10, idx] = np.where(leaf, tri, -1).astype(np.float32)
+    out = np.zeros((n_pages * pcomp, 128), np.float32)
+    for p in range(n_pages):
+        for c in range(11):
+            for k in range(vpp):
+                lo_i = p * page + k * 128
+                out[p * pcomp + c * vpp + k] = comp[c, lo_i:lo_i + 128]
+    return out
+
+
+def _sweep_lane_w(pages_ref, scr_ref, n_nodes, oxv, oyv, ozv, dxv, dyv, dzv,
+                  inx, iny, inz, tmin, node0, bt, bi, bu, bv,
+                  any_hit=False, strip=LSTRIP, max_nit=0, page=256):
+    """Wide-page per-lane sweep (see pack_pages_w)."""
+    vpp = page // 128
+    pcomp = 11 * vpp
+    pshift = page.bit_length() - 1
+    NP = pages_ref.shape[0] // pcomp
+    Nn = n_nodes
+    BIG = jnp.int32(NP + 1)
+
+    state0 = (jnp.min(node0), node0, bt, bi, bu, bv,
+              jnp.zeros((), jnp.int32))
+
+    def cond(st):
+        if max_nit:
+            return (st[0] < Nn) & (st[6] < max_nit)
+        return st[0] < Nn
+
+    def body(st):
+        _, node, bt, bi, bu, bv, nit = st
+        pg = jnp.where(node < Nn, node >> pshift, BIG)
+        p8 = jnp.min(pg, axis=1, keepdims=True)          # (BS, 1)
+        scr_ref[:, :] = p8
+        base8 = p8 * page
+
+        # tabs[c][k]: (BS, 128) — component c, vreg k of each sublane's page
+        rows = []
+        for j in range(BS):
+            pj = jnp.minimum(scr_ref[j, 0], NP - 1) * pcomp
+            rows.append([pages_ref[pj + r, :] for r in range(pcomp)])
+        tabs = [[jnp.stack([rows[j][c * vpp + k] for j in range(BS)], axis=0)
+                 for k in range(vpp)] for c in range(11)]
+
+        def fetch(c, li, seg):
+            g = jnp.take_along_axis(tabs[c][0], li, axis=1)
+            for k in range(1, vpp):
+                gk = jnp.take_along_axis(tabs[c][k], li, axis=1)
+                g = jnp.where(seg == k, gk, g)
+            return g
+
+        for _t in range(strip):
+            local = node - base8
+            act = (local >= 0) & (local < page) & (node < Nn)
+            lc = jnp.clip(local, 0, page - 1)
+            li = lc & 127
+            seg = lc >> 7
+            g0 = fetch(0, li, seg)
+            g1 = fetch(1, li, seg)
+            g2 = fetch(2, li, seg)
+            g3 = fetch(3, li, seg)
+            g4 = fetch(4, li, seg)
+            g5 = fetch(5, li, seg)
+            g6 = fetch(6, li, seg)
+            g7 = fetch(7, li, seg)
+            g8 = fetch(8, li, seg)
+            skip = fetch(9, li, seg).astype(jnp.int32)
+            tid = fetch(10, li, seg).astype(jnp.int32)
+            is_leaf = tid >= 0
+
+            t0x = (g0 - oxv) * inx
+            t1x = (g3 - oxv) * inx
+            t0y = (g1 - oyv) * iny
+            t1y = (g4 - oyv) * iny
+            t0z = (g2 - ozv) * inz
+            t1z = (g5 - ozv) * inz
+            tnear = jnp.maximum(
+                jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+                jnp.maximum(jnp.minimum(t0z, t1z), tmin),
+            )
+            tfar = jnp.minimum(
+                jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+                jnp.minimum(jnp.maximum(t0z, t1z), bt),
+            )
+            hit_box = act & (tnear <= tfar)
+
+            pvx = dyv * g8 - dzv * g7
+            pvy = dzv * g6 - dxv * g8
+            pvz = dxv * g7 - dyv * g6
+            det = g3 * pvx + g4 * pvy + g5 * pvz
+            ok = jnp.abs(det) > 1e-12
+            invd = 1.0 / jnp.where(ok, det, 1.0)
+            tvx, tvy, tvz = oxv - g0, oyv - g1, ozv - g2
+            uu = (tvx * pvx + tvy * pvy + tvz * pvz) * invd
+            qx = tvy * g5 - tvz * g4
+            qy = tvz * g3 - tvx * g5
+            qz = tvx * g4 - tvy * g3
+            vv = (dxv * qx + dyv * qy + dzv * qz) * invd
+            tt = (g6 * qx + g7 * qy + g8 * qz) * invd
+            h = (act & is_leaf & ok & (uu >= 0) & (vv >= 0)
+                 & (uu + vv <= 1) & (tt > tmin) & (tt < bt))
+            bt = jnp.where(h, tt, bt)
+            bi = jnp.where(h, tid, bi)
+            bu = jnp.where(h, uu, bu)
+            bv = jnp.where(h, vv, bv)
+
+            descend = hit_box & jnp.logical_not(is_leaf)
+            nxt = jnp.where(descend, node + 1, skip)
+            node = jnp.where(act, nxt, node)
+            if any_hit:
+                node = jnp.where(bi >= 0, Nn, node)
+
+        return (jnp.min(node), node, bt, bi, bu, bv, nit + 1)
+
+    _, node_f, bt, bi, bu, bv, nit = jax.lax.while_loop(cond, body, state0)
+    return bt, bi, bu, bv, nit, node_f
+
+
+@partial(jax.jit, static_argnames=("n_nodes", "any_hit", "strip", "max_nit",
+                                  "interpret", "page"))
+def _lane_chunk_w(pages, n_nodes, ox, oy, oz, dx, dy, dz, t_min,
+                  node_in, t_in, i_in, u_in, v_in,
+                  any_hit=False, strip=LSTRIP, max_nit=0, interpret=False,
+                  page=256):
+    """Wide-page bounded traversal chunk resuming from per-lane state."""
+    R = ox.shape[0]
+    Rp = -(-R // BLOCK) * BLOCK
+    grid = Rp // BLOCK
+
+    def plane(x, fill, dtype=jnp.float32):
+        x = jnp.asarray(x, dtype)
+        x = jnp.pad(x, (0, Rp - R), constant_values=fill)
+        return x.reshape(grid, BS, LANES)
+
+    ins = [
+        plane(ox, 0.0), plane(oy, 0.0), plane(oz, 0.0),
+        plane(dx, 1.0), plane(dy, 0.0), plane(dz, 0.0),
+        plane(t_min, 0.0),
+        plane(node_in, n_nodes, jnp.int32),
+        plane(t_in, 0.0), plane(i_in, -1, jnp.int32),
+        plane(u_in, 0.0), plane(v_in, 0.0),
+    ]
+
+    ray_spec = pl.BlockSpec((1, BS, LANES), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    tab_spec = pl.BlockSpec(pages.shape, lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def kern(pages_r, *rest):
+        vals = [r[0] for r in rest[:12]]
+        scr = rest[-1]
+        outs = rest[12:-1]
+        oxv, oyv, ozv, dxv, dyv, dzv, tmin, node0, bt0, bi0, bu0, bv0 = vals
+        inx, iny, inz = _safe_inv_v(dxv), _safe_inv_v(dyv), _safe_inv_v(dzv)
+        bt, bi, bu, bv, nit, node = _sweep_lane_w(
+            pages_r, scr, n_nodes, oxv, oyv, ozv, dxv, dyv, dzv,
+            inx, iny, inz, tmin, node0, bt0, bi0, bu0, bv0,
+            any_hit=any_hit, strip=strip, max_nit=max_nit, page=page,
+        )
+        outs[0][0] = bt
+        outs[1][0] = bi
+        outs[2][0] = bu
+        outs[3][0] = bv
+        outs[4][0] = node
+
+    out = pl.pallas_call(
+        kern,
+        grid=(grid,),
+        in_specs=[tab_spec] + [ray_spec] * 12,
+        out_specs=[ray_spec] * 5,
+        out_shape=[
+            jax.ShapeDtypeStruct((grid, BS, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((grid, BS, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((grid, BS, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((grid, BS, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((grid, BS, LANES), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024,
+        ),
+        scratch_shapes=[pltpu.VMEM((BS, 1), jnp.int32)],
+        interpret=interpret,
+    )(pages, *ins)
+    return tuple(x.reshape(Rp)[:R] for x in out)
+
+
+@partial(jax.jit, static_argnames=("n_nodes", "any_hit", "strip", "rounds",
+                                  "chunk_nit", "interpret", "page"))
+def bvh_traverse_lane_resort_w(pages, n_nodes, o, d, t_min, t_max,
+                               scene_lo, scene_hi, any_hit=False,
+                               strip=LSTRIP, rounds=2, chunk_nit=16,
+                               interpret=False, page=256):
+    """Wide-page lane traversal with mid-traversal node-pointer resorts
+    (see bvh_traverse_lane_resort; same sequence, wide pages)."""
+    R = o.shape[0]
+    t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (R,))
+    t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (R,))
+    key = ray_sort_keys(o, d, scene_lo, scene_hi)
+    key = jnp.where(t_max <= t_min, jnp.uint32(0xFFFFFFFF), key)
+    oT = o.T
+    dT = d.T
+    r = jax.lax.sort(
+        (key, oT[0], oT[1], oT[2], dT[0], dT[1], dT[2],
+         t_min, t_max, jnp.arange(R, dtype=jnp.int32)),
+        num_keys=1,
+    )
+    ox, oy, oz, dx, dy, dz, tmn, tmx, orig = r[1:]
+    node = jnp.where(tmx > tmn, 0, n_nodes).astype(jnp.int32)
+    bt = tmx
+    bi = jnp.full((R,), -1, jnp.int32)
+    bu = jnp.zeros((R,))
+    bv = jnp.zeros((R,))
+    for k in range(rounds):
+        bt, bi, bu, bv, node = _lane_chunk_w(
+            pages, n_nodes, ox, oy, oz, dx, dy, dz, tmn,
+            node, bt, bi, bu, bv,
+            any_hit=any_hit, strip=strip, max_nit=chunk_nit,
+            interpret=interpret, page=page)
+        rr = jax.lax.sort(
+            (node, ox, oy, oz, dx, dy, dz, tmn, bt, bi, bu, bv, orig),
+            num_keys=1,
+        )
+        node, ox, oy, oz, dx, dy, dz, tmn, bt, bi, bu, bv, orig = rr
+    bt, bi, bu, bv, node = _lane_chunk_w(
+        pages, n_nodes, ox, oy, oz, dx, dy, dz, tmn,
+        node, bt, bi, bu, bv,
+        any_hit=any_hit, strip=strip, max_nit=0, interpret=interpret,
+        page=page)
+    back = jax.lax.sort((orig, bt, bi, bu, bv), num_keys=1)
+    hitm = back[2] >= 0
+    return (hitm, jnp.where(hitm, back[1], jnp.inf), back[2], back[3],
+            back[4])
+
+
+# --- treelet-aligned wide pages --------------------------------------------
+#
+# probe_visits.py: mean path length is only ~69 nodes on the bunny bench,
+# yet the lane kernel runs at ~4% effective occupancy — because arbitrary
+# page cuts slice subtrees, so a lane's skip jumps leave its sublane's
+# page after ~2-3 steps and every outer iteration advances only the few
+# lanes sharing the min page. Treelet-ALIGNED packing places every
+# subtree of <= page nodes entirely inside one page (units = whole
+# treelets or single spine nodes, greedily filled in preorder): all
+# intra-subtree skips then stay in-page, a lane leaves its page only at
+# true subtree exits, and after a node-pointer sort a sublane's lanes
+# concentrate on the same treelet — occupancy by construction.
+# Page-boundary padding slots are inert FORWARDERS (infinite box -> the
+# +1 descent walks through them), preserving the kernel's node+1 child
+# rule across padded boundaries. The sweep kernel is unchanged.
+
+def pack_pages_treelet(bvh, p0, e1, e2, page: int = 256):
+    """Returns (rows (n_pages*11*vpp, 128) float32, n_slots int): wide-page
+    table with treelet-aligned unit packing + the remapped node count
+    (the traversal's retire sentinel)."""
+    assert page % 128 == 0
+    vpp = page // 128
+    pcomp = 11 * vpp
+    N = len(bvh.lo)
+    counts = np.where(bvh.prim_first >= 0, bvh.prim_count, 0)
+    assert counts.max() <= 1, "lane layout requires a leaf_size=1 BVH"
+    skip = bvh.skip.astype(np.int64)
+
+    # units: (start, end) — whole subtree if it fits a page, else the
+    # spine node alone
+    units = []
+    i = 0
+    while i < N:
+        if skip[i] - i <= page:
+            units.append((i, int(skip[i])))
+            i = int(skip[i])
+        else:
+            units.append((i, i + 1))
+            i += 1
+
+    # greedy page fill; remap old -> new ids
+    remap = np.full(N + 1, -1, np.int64)
+    fill = 0
+    new_id = 0
+    for (a, b) in units:
+        s = b - a
+        if fill + s > page:
+            new_id += page - fill          # pad to the page boundary
+            fill = 0
+        remap[a:b] = new_id + np.arange(s)
+        new_id += s
+        fill = (fill + s) % page
+    n_slots = int(-(-new_id // page) * page)
+    remap[N] = n_slots                     # retire sentinel
+
+    n_pages = n_slots // page
+    comp = np.zeros((11, n_slots), np.float32)
+    # default: inert FORWARDER pads — infinite box, internal, so +1 walks
+    # through them to the next real slot
+    comp[0:3, :] = -np.inf                 # lo
+    comp[3:6, :] = np.inf                  # hi
+    comp[9, :] = float(n_slots)
+    comp[10, :] = -1.0
+
+    inner = counts == 0
+    leaf = ~inner
+    tri = np.zeros(N, np.int64)
+    tri[leaf] = bvh.prim_order[bvh.prim_first[leaf]]
+    nid = remap[:N]
+    for c in range(3):
+        comp[c, nid[inner]] = bvh.lo[inner, c]
+        comp[3 + c, nid[inner]] = bvh.hi[inner, c]
+        comp[c, nid[leaf]] = p0[tri[leaf], c]
+        comp[3 + c, nid[leaf]] = e1[tri[leaf], c]
+        comp[6 + c, nid[leaf]] = e2[tri[leaf], c]
+    comp[9, nid] = remap[skip[:N]].astype(np.float32)
+    comp[10, nid] = np.where(leaf, tri, -1).astype(np.float32)
+    assert n_slots < (1 << 24)
+
+    out = np.zeros((n_pages * pcomp, 128), np.float32)
+    for p in range(n_pages):
+        for c in range(11):
+            for k in range(vpp):
+                lo_i = p * page + k * 128
+                out[p * pcomp + c * vpp + k] = comp[c, lo_i:lo_i + 128]
+    return out, n_slots

@@ -66,8 +66,12 @@ BVH_KERNEL = os.environ.get("MTS_BVH_KERNEL", "lane")
 # unsorted rays, so the sort is optional.
 BVH_SORT = os.environ.get("MTS_BVH_SORT", "1") != "0"
 # chunked traversal with mid-traversal node-pointer re-sort for bounce
-# (non-presorted) queries: "rounds,chunk_nit", empty = off
-BVH_RESORT = os.environ.get("MTS_BVH_RESORT", "2,16")
+# (non-presorted) queries: "rounds,chunk_nit", empty = off. Schedules
+# measured on the bunny bench (r5 probes, bounce rays): closest 4,12 =
+# 41.9 ms vs 2,16 = 45.5; shadow (any_hit retires lanes on first hit,
+# fewer rounds pay) 1,16 = 31 ms
+BVH_RESORT = os.environ.get("MTS_BVH_RESORT", "4,12")
+BVH_RESORT_SHADOW = os.environ.get("MTS_BVH_RESORT_SHADOW", "1,16")
 
 
 def _pallas_bvh_ok(static) -> bool:
@@ -182,6 +186,13 @@ def ray_intersect(scene: Scene, static: SceneStatic, o, d, t_min, t_max,
     if T > 0:
         if static.use_bvh:
             if _pallas_bvh_ok(static):
+                # Pallas kernels carry no vjp; geometry queries are
+                # DETACHED under AD — exactly the detached-sampling
+                # estimator (parallel/train.py): hit records are constants
+                # w.r.t. material/emitter/texture parameters, which is
+                # what the trainable classes differentiate
+                o = jax.lax.stop_gradient(o)
+                d = jax.lax.stop_gradient(d)
                 if BVH_KERNEL == "lane":
                     from ..ops.pallas_bvh import (
                         LANE_VMEM_MAX_NODES, bvh_traverse_lane,
@@ -220,6 +231,9 @@ def ray_intersect(scene: Scene, static: SceneStatic, o, d, t_min, t_max,
                 )
         elif _pallas_ok(static):
             from ..ops.pallas_intersect import brute_force_interaction
+
+            o = jax.lax.stop_gradient(o)
+            d = jax.lax.stop_gradient(d)
 
             (hit_t, tri_t, tri_idx, tri_u, tri_v, n_sh_raw, gn_tri, uv_tri,
              mat_tri, em_tri, nee_tri) = brute_force_interaction(
@@ -412,6 +426,8 @@ def occluded(scene: Scene, static: SceneStatic, o, d, t_min, t_max,
     if static.n_tris > 0:
         if static.use_bvh:
             if _pallas_bvh_ok(static):
+                o = jax.lax.stop_gradient(o)
+                d = jax.lax.stop_gradient(d)
                 if BVH_KERNEL == "lane":
                     from ..ops.pallas_bvh import (
                         LANE_VMEM_MAX_NODES, bvh_traverse_lane,
@@ -420,10 +436,11 @@ def occluded(scene: Scene, static: SceneStatic, o, d, t_min, t_max,
                     trav = (bvh_traverse_lane_hbm
                             if static.n_bvh_nodes > LANE_VMEM_MAX_NODES
                             else bvh_traverse_lane)
-                    if (BVH_RESORT and not presorted
+                    if (BVH_RESORT_SHADOW and not presorted
                             and trav is bvh_traverse_lane):
                         from ..ops.pallas_bvh import bvh_traverse_lane_resort
-                        rr, cn = (int(x) for x in BVH_RESORT.split(","))
+                        rr, cn = (int(x)
+                                  for x in BVH_RESORT_SHADOW.split(","))
                         h, _, _, _, _ = bvh_traverse_lane_resort(
                             scene.bvh_pages, static.n_bvh_nodes, o, d,
                             t_min, t_max, scene.aabb_lo, scene.aabb_hi,

@@ -1,0 +1,121 @@
+#!/usr/bin/env python
+"""Round-5 probe C: resort-schedule sweep on bench-context bounce rays +
+record/shadow costs. Builds on probe_r5b findings: in-graph lax.sort costs
+~1.5 ms, the sweep dominates at ~5% lane occupancy, so frequent node-
+pointer resorts should collapse the cost."""
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+
+def timeit(fn, *args, n=5):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / n
+
+
+def main():
+    import bench
+    from mitsuba_tpu.core import rng as rng_mod
+    from mitsuba_tpu.core.transform import Transform
+    from mitsuba_tpu.ops import pallas_bvh as pb
+    from mitsuba_tpu.render import scene as scene_mod
+    from mitsuba_tpu.render import sensor as sensor_mod
+    from mitsuba_tpu.render.integrators.common import DIM_SENSOR
+
+    print("building scene...", flush=True)
+    scene, static = bench.build_bunny_scene()
+    W = H = 512
+    R = W * H
+    cam = Transform.look_at([0.0, 0.25, -0.75], [0.0, 0.1, 0.0], [0, 1, 0])
+    sens = sensor_mod.make_perspective(cam, 45.0, W, H)
+    pixel_idx = jnp.arange(H * W, dtype=jnp.int32)
+    seed = jnp.asarray(0, jnp.int32)
+    rng_mod.set_sampler(rng_mod.INDEPENDENT)
+
+    u = rng_mod.uniform2(seed, pixel_idx, 0, DIM_SENSOR)
+    px = (pixel_idx % W).astype(jnp.float32)
+    py = (pixel_idx // W).astype(jnp.float32)
+    pos = jnp.stack([px, py], axis=-1) + u
+    uv = pos / jnp.asarray([W, H], jnp.float32)
+    o, d = sensor_mod.sample_ray(sens, uv, u)
+
+    @jax.jit
+    def mk_bounce(o, d):
+        its = scene_mod.ray_intersect(scene, static, o, d, 1e-4, jnp.inf)
+        k = jax.random.PRNGKey(1)
+        u2 = jax.random.uniform(k, (R, 2))
+        from mitsuba_tpu.core import warp as warp_mod
+        wo = warp_mod.square_to_cosine_hemisphere(u2)
+        d1 = its.sh_frame.to_world(wo)
+        o1 = its.p + 1e-4 * its.gn * jnp.sign(
+            jnp.sum(its.gn * d1, -1, keepdims=True))
+        return jnp.where(its.valid[:, None], o1, o), \
+            jnp.where(its.valid[:, None], d1, d), its.valid
+
+    o1, d1, valid = jax.block_until_ready(mk_bounce(o, d))
+    print("bounce rays ready", flush=True)
+    pages, n_nodes = scene.bvh_pages, static.n_bvh_nodes
+    tmx = jnp.full((R,), 1e30)
+
+    for (rr, cn) in [(4, 12), (6, 8), (8, 8), (12, 6), (16, 4)]:
+        @jax.jit
+        def q(o, d, rr=rr, cn=cn):
+            return pb.bvh_traverse_lane_resort(
+                pages, n_nodes, o, d, 1e-4, tmx, scene.aabb_lo,
+                scene.aabb_hi, rounds=rr, chunk_nit=cn)
+        dt = timeit(q, o1, d1)
+        print(f"resort {rr:2d},{cn:2d} bounce rays: {dt*1e3:7.2f} ms "
+              f"-> {R/dt/1e6:5.2f} Mq/s", flush=True)
+
+    # shadow-style any_hit with the best schedule guesses
+    for (rr, cn) in [(2, 16), (6, 8)]:
+        @jax.jit
+        def qs(o, d, rr=rr, cn=cn):
+            return pb.bvh_traverse_lane_resort(
+                pages, n_nodes, o, d, 1e-4, jnp.full((R,), 0.5),
+                scene.aabb_lo, scene.aabb_hi, rounds=rr, chunk_nit=cn,
+                any_hit=True)
+        dt = timeit(qs, o1, d1)
+        print(f"any_hit {rr:2d},{cn:2d} bounce rays: {dt*1e3:7.2f} ms",
+              flush=True)
+
+    # full interaction record on bounce rays (the wrapper overhead)
+    @jax.jit
+    def qf(o, d):
+        its = scene_mod.ray_intersect(scene, static, o, d, 1e-4, jnp.inf)
+        return its.p, its.sh_frame.n, its.uv, its.mat_id
+    print(f"ray_intersect(record):       {timeit(qf, o1, d1)*1e3:7.2f} ms",
+          flush=True)
+
+    # primary rays with the default (the other half of the bench)
+    @jax.jit
+    def qp(o, d):
+        return pb.bvh_traverse_lane_resort(
+            pages, n_nodes, o, d, 1e-4, tmx, scene.aabb_lo,
+            scene.aabb_hi, rounds=2, chunk_nit=16)
+    dt = timeit(qp, o, d)
+    print(f"resort 2,16 PRIMARY rays:    {dt*1e3:7.2f} ms", flush=True)
+
+    @jax.jit
+    def qp2(o, d):
+        return pb.bvh_traverse_lane_resort(
+            pages, n_nodes, o, d, 1e-4, tmx, scene.aabb_lo,
+            scene.aabb_hi, rounds=6, chunk_nit=8)
+    dt = timeit(qp2, o, d)
+    print(f"resort 6,8  PRIMARY rays:    {dt*1e3:7.2f} ms", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -349,3 +349,43 @@ def test_lane_resort_kernel_matches_xla():
         pages, N, o, d, t_min, t_max, slo, shi, rounds=2, chunk_nit=3,
         any_hit=True, interpret=True)
     np.testing.assert_array_equal(np.asarray(h_a), hx)
+
+
+def test_lane_hbm_resort_matches_vmem():
+    """The chunked HBM traversal with mid-traversal node-pointer resorts
+    (bvh_traverse_lane_hbm_resort — the page-locality lever of the
+    beyond-VMEM tier) must agree with the VMEM lane kernel."""
+    import numpy as np
+    import jax.numpy as jnp
+    from mitsuba_tpu.accel.build import build_bvh, triangle_aabbs
+    from mitsuba_tpu.ops.pallas_bvh import (
+        pack_pages, bvh_traverse_lane_packed, bvh_traverse_lane_hbm_resort)
+
+    rng = np.random.default_rng(4)
+    T = 1500
+    p0 = rng.uniform(-1, 1, (T, 3)).astype(np.float32)
+    e1 = rng.uniform(-0.15, 0.15, (T, 3)).astype(np.float32)
+    e2 = rng.uniform(-0.15, 0.15, (T, 3)).astype(np.float32)
+    lo, hi = triangle_aabbs(p0, p0 + e1, p0 + e2)
+    bvh = build_bvh(lo, hi, leaf_size=1)
+    N = len(bvh.lo)
+    pages = jnp.asarray(pack_pages(bvh, p0, e1, e2))
+    R = 1024
+    o = jnp.asarray(rng.uniform(-2, 2, (R, 3)).astype(np.float32))
+    d = rng.normal(size=(R, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    d = jnp.asarray(d)
+    slo = jnp.asarray(lo.min(0))
+    shi = jnp.asarray(hi.max(0))
+
+    ref = bvh_traverse_lane_packed(pages, N, o, d, 1e-4, 1e9,
+                                   interpret=True)
+    res = bvh_traverse_lane_hbm_resort(pages, N, o, d, 1e-4,
+                                       jnp.full((R,), 1e9), slo, shi,
+                                       rounds=2, chunk_nit=6,
+                                       interpret=True)
+    np.testing.assert_array_equal(np.asarray(res[0]), np.asarray(ref[0]))
+    both = np.asarray(res[0]) & np.asarray(ref[0])
+    np.testing.assert_allclose(
+        np.where(both, np.asarray(res[1]), 0.0),
+        np.where(both, np.asarray(ref[1]), 0.0), atol=1e-5)

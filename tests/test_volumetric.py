@@ -291,3 +291,20 @@ def test_sparse_grid_hierarchical_majorants():
         np.minimum(z0 + 1, n - 1), mid_v, mid_v] * fz
     ref = np.exp(-4.0 * np.trapezoid(dens, ts))
     np.testing.assert_allclose(t_blob, ref, rtol=0.03)
+
+
+def test_vol_roundtrip_mmap():
+    """.vol loader memory-maps float32 single-channel files (mmap.cpp /
+    gridvolume.cpp:628 beyond-RAM role) and still round-trips exactly."""
+    import tempfile
+    import numpy as np
+    from mitsuba_tpu.io.volgrid import load_vol, save_vol
+
+    g = np.random.default_rng(0).random((16, 12, 10)).astype(np.float32)
+    fn = tempfile.mktemp(suffix=".vol")
+    save_vol(fn, g, (0, 0, 0), (1, 2, 3))
+    g2, w2g = load_vol(fn)
+    assert isinstance(g2, np.memmap) or g2.base is not None
+    np.testing.assert_allclose(np.asarray(g2), g)
+    g3, _ = load_vol(fn, mmap=False)
+    np.testing.assert_allclose(np.asarray(g3), g)
