@@ -328,9 +328,64 @@ def cylclip(argv):
     return 0
 
 
+def preview(argv):
+    """Progressive VPL preview — the headless analog of the reference's
+    libhw/mtsgui GL preview (src/mtsgui/preview.h:34 VPLSceneManager: the
+    GUI rasterizes one VPL set per refresh to preview the scene while the
+    real render runs). Here each pass renders one low-spp instant-
+    radiosity image on the accelerator and rewrites the output file, so
+    the picture sharpens progressively like the GUI preview; no GL/libhw
+    needed on a TPU."""
+    import argparse
+    import time as _time
+
+    import numpy as np
+
+    from .io.image import write_image
+    from .io.mitsuba_xml import load_scene
+    from .render import api
+    from .render.integrators.common import IntegratorConfig, VPL
+
+    ap = argparse.ArgumentParser(prog="mtsutil preview")
+    ap.add_argument("scene")
+    ap.add_argument("-o", "--output", default="preview.png")
+    ap.add_argument("--passes", type=int, default=8)
+    ap.add_argument("--spp", type=int, default=1, help="spp per pass")
+    ap.add_argument("--vpls", type=int, default=64,
+                    help="VPLs per pass (preview.h vplCount role)")
+    ap.add_argument("--size", type=int, default=0,
+                    help="override preview resolution (largest side)")
+    ap.add_argument("-D", action="append", default=[],
+                    metavar="key=value", help="scene parameter substitution")
+    args = ap.parse_args(argv)
+    defines = dict(kv.split("=", 1) for kv in args.D)
+    sc = load_scene(args.scene, defines=defines or None)
+    st = sc.settings
+    W, H = st.width, st.height
+    if args.size:
+        s = args.size / max(W, H)
+        W, H = max(int(W * s), 8), max(int(H * s), 8)
+    cfg = IntegratorConfig(type=VPL, max_depth=3, vpl_count=args.vpls)
+    acc = np.zeros((H, W, 3), np.float32)
+    from dataclasses import replace as _replace
+    for k in range(args.passes):
+        t0 = _time.perf_counter()
+        stk = _replace(st, width=W, height=H, spp=args.spp,
+                       spp_per_pass=args.spp, seed=st.seed + 7 * k)
+        img = np.asarray(api.render(sc.scene, sc.static, sc.sensor, cfg,
+                                    stk))
+        acc += (img - acc) / (k + 1)
+        write_image(args.output, acc)
+        print(f"pass {k + 1}/{args.passes}: "
+              f"{(_time.perf_counter() - t0) * 1e3:.0f} ms -> "
+              f"{args.output}", flush=True)
+    return 0
+
+
 UTILITIES = {"tonemap": tonemap, "addimages": addimages,
              "joinrgb": joinrgb, "kdbench": kdbench,
-             "rdielprec": rdielprec, "cylclip": cylclip}
+             "rdielprec": rdielprec, "cylclip": cylclip,
+             "preview": preview}
 
 
 def main(argv=None):

@@ -66,12 +66,20 @@ BVH_KERNEL = os.environ.get("MTS_BVH_KERNEL", "lane")
 # unsorted rays, so the sort is optional.
 BVH_SORT = os.environ.get("MTS_BVH_SORT", "1") != "0"
 # chunked traversal with mid-traversal node-pointer re-sort for bounce
-# (non-presorted) queries: "rounds,chunk_nit", empty = off. Schedules
-# measured on the bunny bench (r5 probes, bounce rays): closest 4,12 =
-# 41.9 ms vs 2,16 = 45.5; shadow (any_hit retires lanes on first hit,
-# fewer rounds pay) 1,16 = 31 ms
-BVH_RESORT = os.environ.get("MTS_BVH_RESORT", "4,12")
+# (non-presorted) queries: "rounds,chunk_nit[,strip]", empty = off.
+# Schedules measured on the bunny bench (r5 probes, bounce rays):
+# closest 4,24,5 = 42.3 ms (plateau: 2,16,10 = 45.8; 4,12,10 = 41.9);
+# shadow (any_hit retires lanes on first hit, fewer rounds pay)
+# 1,16 = 31 ms
+BVH_RESORT = os.environ.get("MTS_BVH_RESORT", "4,24,5")
 BVH_RESORT_SHADOW = os.environ.get("MTS_BVH_RESORT_SHADOW", "1,16")
+
+
+def _sched(spec):
+    parts = [int(x) for x in spec.split(",")]
+    rr, cn = parts[0], parts[1]
+    st = parts[2] if len(parts) > 2 else 10
+    return rr, cn, st
 
 
 def _pallas_bvh_ok(static) -> bool:
@@ -204,12 +212,12 @@ def ray_intersect(scene: Scene, static: SceneStatic, o, d, t_min, t_max,
                     if (BVH_RESORT and not presorted
                             and trav is bvh_traverse_lane):
                         from ..ops.pallas_bvh import bvh_traverse_lane_resort
-                        rr, cn = (int(x) for x in BVH_RESORT.split(","))
+                        rr, cn, st = _sched(BVH_RESORT)
                         hit_t, tri_t, tri_idx, tri_u, tri_v = \
                             bvh_traverse_lane_resort(
                                 scene.bvh_pages, static.n_bvh_nodes, o, d,
                                 t_min, t_max, scene.aabb_lo, scene.aabb_hi,
-                                rounds=rr, chunk_nit=cn)
+                                rounds=rr, chunk_nit=cn, strip=st)
                     else:
                         hit_t, tri_t, tri_idx, tri_u, tri_v = trav(
                             scene.bvh_pages, static.n_bvh_nodes, o, d,
@@ -439,12 +447,12 @@ def occluded(scene: Scene, static: SceneStatic, o, d, t_min, t_max,
                     if (BVH_RESORT_SHADOW and not presorted
                             and trav is bvh_traverse_lane):
                         from ..ops.pallas_bvh import bvh_traverse_lane_resort
-                        rr, cn = (int(x)
-                                  for x in BVH_RESORT_SHADOW.split(","))
+                        rr, cn, st = _sched(BVH_RESORT_SHADOW)
                         h, _, _, _, _ = bvh_traverse_lane_resort(
                             scene.bvh_pages, static.n_bvh_nodes, o, d,
                             t_min, t_max, scene.aabb_lo, scene.aabb_hi,
-                            rounds=rr, chunk_nit=cn, any_hit=True)
+                            rounds=rr, chunk_nit=cn, any_hit=True,
+                            strip=st)
                     else:
                         h, _, _, _, _ = trav(
                             scene.bvh_pages, static.n_bvh_nodes, o, d,

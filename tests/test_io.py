@@ -293,3 +293,21 @@ def test_mtsutil_rdielprec(tmp_path):
     # roughness raises grazing transmittance (facet normals tilt toward
     # the ray, cutting the grazing Fresnel spike — rtrans.h table shape)
     assert t_hi[3] > t_lo[3]
+
+
+def test_mtsutil_preview_progressive(tmp_path):
+    """Progressive VPL preview utility — the headless analog of the
+    libhw/mtsgui GL preview (preview.h:34 VPLSceneManager role): each pass
+    rewrites the output and the accumulated image stays finite."""
+    import os
+    from mitsuba_tpu import mtsutil
+
+    out = str(tmp_path / "p.png")
+    scene = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "scenes", "cbox.xml")
+    rc = mtsutil.preview([scene, "-o", out, "--passes", "2",
+                          "--size", "32", "-D", "res=32", "-D", "spp=4"])
+    assert rc == 0 and os.path.exists(out)
+    from mitsuba_tpu.io.mitsuba_xml import _load_image
+    img = _load_image(out)
+    assert img.shape[0] == 32 and np.isfinite(img).all() and img.mean() > 0
