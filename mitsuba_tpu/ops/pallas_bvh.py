@@ -20,6 +20,21 @@ dynamic-sublane row read per step, no separate triangle table.
 Coherent ray blocks (primary/shadow tiles) share most of their path so the
 union stays near one ray's path length; incoherent blocks degrade toward
 O(nodes). Table VMEM: 256 B/node -> ~17 MB at 100k triangles.
+
+ROUND-5 PERF LEDGER (bunny bench, 262k bounce rays, v5e): the lane-resort
+kernel sits on a ~42-46 ms plateau that none of the following moved more
+than ~8%: resort schedules (2,16 / 4,12 / 6,8 / 12,6), strip lengths
+(3/5/10/20), wide pages (256/512 via *_w kernels below), or
+treelet-aligned page packing (pack_pages_treelet — 2x WORSE, padding +
+forwarder overhead). probe_visits.py shows mean path length is only ~69
+nodes and an ordered (near-first) traversal would save just 1.11x, so
+the plateau is per-outer-iteration machinery (the vector->scalar page-id
+roundtrip + 88 dynamic-sublane row loads) times the iteration count —
+page-size-invariant because big skip jumps cross any feasible page.
+Breaking it needs a different gather primitive (cross-vreg dynamic
+gather) or per-lane-stack traversal, neither expressible in Mosaic
+today. The shipped defaults are the measured best: closest 4,24,strip=5,
+shadow any_hit 1,16 (render/scene.py BVH_RESORT*).
 """
 from __future__ import annotations
 

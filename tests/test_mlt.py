@@ -61,8 +61,12 @@ def test_mlt_matches_path(itype):
         scene, static, sens, IntegratorConfig(type=PATH, max_depth=4),
         api.RenderSettings(width=W, height=H, spp=256, spp_per_pass=64,
                            filter_type=rfilter.BOX)))
+    # 262k luminance samples: the two-stage normalization b wobbles
+    # +-4% at 65k on this scene (heavy-tailed pixel luminance — the
+    # reference's plain-MC stage 1 has the same variance, pssmlt.cpp:297);
+    # the test gates the CHAIN estimator, so b gets a converged budget
     cfg = IntegratorConfig(type=itype, max_depth=4, chain_count=2048,
-                           luminance_samples=65536)
+                           luminance_samples=262144)
     img = np.asarray(api.render(
         scene, static, sens, cfg,
         api.RenderSettings(width=W, height=H, spp=64)))
